@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.core.Fixture
+import graft.operators._
+import graft.plans.Lineage
+import graft.sources.{PageRow, Pages, TripleSink}
+
+/** The flagship kg-build pipeline (SURVEY.md §3.2):
+  *
+  *   pages → extract (A2) → lang filter (A3) → sentence split (A4) →
+  *   Viterbi tag (A8) → BIO spans (A9) → raw triples (A10) →
+  *   link (A11–A13) → connected components (A14) → canonical rewrite
+  *   (A15) → materialize (A16)
+  *
+  * A2–A10 is one narrow, shuffle-free pipelined stage; the only
+  * exchanges are the linking aggregations/joins and the final write.
+  *
+  * Two modes:
+  *  - direct (checkpointDir = None): fully lazy Catalyst plan — used by
+  *    benchmarks and driver queries;
+  *  - checkpointed: every major stage materializes through
+  *    graft.plans.Lineage with per-partition commit records → a killed
+  *    run resumes from the last committed partition.
+  */
+object Pipeline {
+
+  final case class Config(
+      nParts: Int = 32,
+      saltMod: Int = 16,
+      runId: String = "run-1",
+      checkpointDir: Option[String] = None)
+
+  final case class Outputs(
+      extracted: DataFrame,
+      tagged: Dataset[TaggedRow],
+      mentions: Dataset[MentionRow],
+      rawTriples: Dataset[RawTripleRow],
+      canon: DataFrame,
+      triples: DataFrame)
+
+  def run(spark: SparkSession, pages: Dataset[PageRow],
+          cfg: Config = Config()): Outputs = {
+    import spark.implicits._
+    val bcModel = spark.sparkContext.broadcast(Fixture.model)
+
+    cfg.checkpointDir match {
+      case None =>
+        val extracted = Stages.extract(pages, cfg.nParts)
+        val tagged = Stages.tag(extracted, bcModel)
+        val ments = Stages.mentions(tagged)
+        val raw = Stages.rawTriples(tagged)
+        val nodes = Linking.nodes(ments, cfg.saltMod)
+        val edges = Linking.edges(Linking.signatures(nodes))
+        val canon = Canonicalize.canonMap(nodes, edges)
+        val triples = Canonicalize.rewrite(raw, canon)
+        Outputs(extracted, tagged, ments, raw, canon, triples)
+
+      case Some(dir) =>
+        val lin = new Lineage(spark, dir, cfg.runId)
+        val extracted = lin.runPartitioned("extracted",
+          Stages.extract(pages, cfg.nParts))
+        val tagged = Stages.tag(extracted, bcModel)
+        val raw = lin.runPartitioned("triples_raw", {
+          // part_id rides along from extracted via a re-derivation on url
+          import org.apache.spark.sql.functions._
+          Stages.rawTriples(tagged).toDF()
+            .withColumn("part_id", pmod(xxhash64(col("url")), lit(cfg.nParts)).cast("int"))
+        })
+        val rawDs = raw.drop("part_id").as[RawTripleRow]
+        val ments = Stages.mentions(tagged)
+        val nodes = Linking.nodes(ments, cfg.saltMod)
+        val edges = Linking.edges(Linking.signatures(nodes))
+        val canon = lin.runGlobal("canon_map", Canonicalize.canonMap(nodes, edges))
+        val triples = lin.runGlobal("triples", Canonicalize.rewrite(rawDs, canon))
+        TripleSink.write(triples, s"$dir/triples_table", cfg.runId, cfg.nParts)
+        Outputs(extracted, tagged, ments, rawDs, canon, triples)
+    }
+  }
+
+  /** Convenience: synthesize pages from a testdata dir and run direct. */
+  def runOnTestdata(spark: SparkSession, sfDir: String,
+                    replicate: Int = 1, cfg: Config = Config()): Outputs =
+    run(spark, Pages.synthesize(spark, sfDir, replicate), cfg)
+}

@@ -86,10 +86,30 @@ object Fixture {
   }
 
   /** Fixed HMM training corpus: gold-tagged sentences of docs 0..499,
-    * independent of which scale factor a run reads. Deterministic. */
+    * independent of which scale factor a run reads. Deterministic.
+    *
+    * Sentences are trained in PAGE SHAPE — i.e. as they come out of the
+    * extractor, where the html <title> text ("t{id} ") is glued onto the
+    * first sentence — with the title prefix gold-tagged O. Training on
+    * raw template sentences alone leaves π(O) ≈ 0 (every template starts
+    * with an entity), which made Viterbi tag the ASCII title as a PER
+    * span and emit junk triples like (t42, born_in, 北京). */
   val TrainDocs: Int = 500
+
+  /** Gold-tagged training rows for one doc, page-shaped (see above). */
+  def pageTrainingRows(docId: Long): Vector[(Array[Char], Array[String])] = {
+    val d = zhDoc(docId)
+    d.sentences.zipWithIndex.map { case (gs, i) =>
+      val base = (gs.text.toCharArray, Bio.encode(gs.text.length, gs.spans))
+      if (i == 0) {
+        val prefix = s"t$docId "
+        (prefix.toCharArray ++ base._1, Array.fill(prefix.length)("O") ++ base._2)
+      } else base
+    }
+  }
+
   lazy val model: HmmModel =
-    Hmm.train((0 until TrainDocs).iterator.flatMap(id => zhDoc(id.toLong).tagged).toSeq)
+    Hmm.train((0 until TrainDocs).iterator.flatMap(id => pageTrainingRows(id.toLong)).toSeq)
 
   /** Pages-table synthesis mapping (FIXTURES.md §1): one page per
     * documents.parquet row. For zh rows the body is the planted Chinese

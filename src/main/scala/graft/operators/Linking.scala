@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Hashing, Text}
+
+/** Entity node: one distinct (etype, norm_key), with its most frequent
+  * surface form and occurrence count. */
+final case class NodeRow(etype: String, norm_key: String, surface: String, cnt: Long)
+
+/** LSH-ready node: MinHash signature + band keys + shingles. */
+final case class NodeSigRow(etype: String, norm_key: String, surface: String,
+                            cnt: Long, shingles: Array[String], bands: Array[Long])
+
+/** Accepted linking edge between two entity nodes of the same etype. */
+final case class EdgeRow(etype: String, key_a: String, key_b: String, score: Double)
+
+/** A11–A13: entity linking — blocked MinHash-LSH candidate generation +
+  * feature-scored disambiguation (BASELINE.json:6).
+  *
+  * Plan shape at scale:
+  *  - node build: ONE shuffle (salted two-phase count — hot surfaces like
+  *    北京 appear in millions of docs; the salt spreads the partial
+  *    aggregation, the second phase re-combines ~S rows per hot key);
+  *  - signatures: narrow map (MinHash computed per node in-line — no
+  *    posexplode/k-aggregation shuffle; each node has ~O(len) shingles);
+  *  - candidate generation: band explode (narrow) + self-equi-join on
+  *    (band_idx, band_key) — the one unavoidable shuffle, AQE-skew-safe
+  *    because band keys are hashes;
+  *  - scoring: narrow map over candidate pairs with EXACT shingle
+  *    Jaccard (deterministic — the MinHash estimate is only used for
+  *    blocking, never for accept/reject, SURVEY §7 hard-part 5).
+  */
+object Linking {
+
+  val NumHashes = 32
+  val NumBands = 16 // r = 2 rows per band → P(block) ≈ 1-(1-J²)¹⁶
+  val JaccardAccept = 0.5
+  val JaccardAbbrev = 0.15 // floor for subsequence-abbreviation pairs (北大 ⊑ 北京大学)
+
+  /** Distinct entity nodes with occurrence counts and the most frequent
+    * surface (ties → lexicographically smallest). Salted two-phase
+    * aggregation (A17) keeps hot keys from pinning a single reducer. */
+  def nodes(mentions: Dataset[MentionRow], saltMod: Int = 16): Dataset[NodeRow] = {
+    import mentions.sparkSession.implicits._
+    val salted = mentions
+      .withColumn("salt", pmod(xxhash64(col("url"), col("sent_idx")), lit(saltMod)))
+      .groupBy("etype", "norm_key", "mention", "salt").count()
+      .groupBy("etype", "norm_key", "mention").agg(sum("count").as("cnt"))
+    val w = Window.partitionBy("etype", "norm_key")
+      .orderBy(col("cnt").desc, col("mention").asc)
+    salted
+      .withColumn("rk", row_number().over(w))
+      .withColumn("node_cnt", sum("cnt").over(Window.partitionBy("etype", "norm_key")))
+      .filter(col("rk") === 1)
+      .select(col("etype"), col("norm_key"), col("mention").as("surface"),
+        col("node_cnt").as("cnt"))
+      .as[NodeRow]
+  }
+
+  /** Narrow map: shingles → MinHash signature → band keys. */
+  def signatures(nodes: Dataset[NodeRow]): Dataset[NodeSigRow] = {
+    import nodes.sparkSession.implicits._
+    nodes.map { n =>
+      val sh = Text.shingles(n.norm_key)
+      val mh = Hashing.minhash(sh, NumHashes)
+      NodeSigRow(n.etype, n.norm_key, n.surface, n.cnt, sh, Hashing.bandKeys(mh, NumBands))
+    }
+  }
+
+  /** LSH self-join on (band index, band key) within the same etype;
+    * key_a < key_b deduplicates unordered pairs; exact-Jaccard +
+    * abbreviation-subsequence scoring decides acceptance. */
+  def edges(sigs: Dataset[NodeSigRow]): Dataset[EdgeRow] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val banded = sigs.toDF()
+      .select(col("etype"), col("norm_key"), col("shingles"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cands = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.etype") === col("b.etype") &&
+        col("a.norm_key") < col("b.norm_key"))
+      .select(col("a.etype").as("etype"),
+        col("a.norm_key").as("key_a"), col("a.shingles").as("sh_a"),
+        col("b.norm_key").as("key_b"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("etype", "key_a", "key_b")
+      .as[(String, String, Array[String], String, Array[String])]
+    cands.flatMap { case (etype, ka, sa, kb, sb) =>
+      val j = Hashing.jaccard(sa, sb)
+      val (short, long) = if (ka.length <= kb.length) (ka, kb) else (kb, ka)
+      val abbrev = short.nonEmpty && long.nonEmpty &&
+        short.charAt(0) == long.charAt(0) && Text.isSubsequence(short, long)
+      val accept = j >= JaccardAccept || (abbrev && j >= JaccardAbbrev)
+      if (accept) Some(EdgeRow(etype, ka, kb, j)) else None
+    }
+  }
+}

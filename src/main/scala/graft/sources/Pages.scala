@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.time.Instant
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.{Fixture, Text}
+
+/** One Common-Crawl-style page row (BASELINE.json:15 input_hint):
+  * pages(url string, warc_ts timestamp, html binary, text string, lang string).
+  */
+final case class PageRow(url: String, warc_ts: Instant, html: Array[Byte],
+                         text: String, lang: String)
+
+/** Synthesizes the pages input table from the driver's read-only
+  * documents.parquet (FIXTURES.md §1) — deterministically, executor-side,
+  * with no driver collect. zh rows get the planted NER corpus; every
+  * third doc has text=null to force the html-extraction path.
+  *
+  * `replicate` fans each document out to `replicate` distinct pages
+  * (distinct doc ids → distinct planted content), used by Bench to scale
+  * the corpus without external data.
+  */
+object Pages {
+
+  // not private: Spark's generated deserializer must construct it
+  final case class DocRow(doc_id: Long, text: String, lang: String, source: String)
+
+  def synthesize(spark: SparkSession, sfDir: String, replicate: Int = 1): Dataset[PageRow] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source").as[DocRow]
+    val expanded =
+      if (replicate <= 1) docs
+      else docs.flatMap { d =>
+        (0 until replicate).iterator.map(k => d.copy(doc_id = d.doc_id * replicate + k))
+      }
+    expanded.map { d =>
+      val body = Fixture.pageBody(d.doc_id, d.text, d.lang)
+      val html = Fixture.pageHtml(d.doc_id, body)
+      val preExtracted = if (d.doc_id % 3 == 0) null else Text.extractText(html)
+      PageRow(Fixture.pageUrl(d.doc_id, d.source),
+        Instant.ofEpochSecond(Fixture.pageTsSeconds(d.doc_id)),
+        html, preExtracted, d.lang)
+    }
+  }
+}
