@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.TextStats
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Quality and token metrics are pure Column expressions — they stay
+  * inside whole-stage codegen, and a projection-only pass over 100 TB
+  * of text is scan-bound, which is the right bottleneck. Language ID
+  * and fingerprinting need per-char/per-word loops, so they run as
+  * typed map over a narrow projection (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Quality metrics, all codegen'd Column expressions:
+    *  n_chars, n_words, mean_word_len, digit_ratio, space_ratio,
+    *  upper_ratio and a composite [0,1] quality score.
+    * Ratios rounded to 4 decimals (stable vs the DuckDB oracle). */
+  def quality(docs: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nWords = size(split(col("text"), " +")).cast("double")
+    val digits = len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double")
+    val spaces = len - length(regexp_replace(col("text"), " ", "")).cast("double")
+    val uppers = len - length(regexp_replace(col("text"), "[A-Z]", "")).cast("double")
+    val meanWordLen = (len - spaces) / nWords
+    // crude composite: long-enough docs with word-like shape score high
+    val score = least(lit(1.0), nWords / lit(50.0)) *
+      (lit(1.0) - digits / len) *
+      when(meanWordLen.between(2.0, 12.0), 1.0).otherwise(0.5)
+    docs.select(
+      col("doc_id"),
+      len.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(digits / len, 4).as("digit_ratio"),
+      round(spaces / len, 4).as("space_ratio"),
+      round(uppers / len, 4).as("upper_ratio"),
+      round(score, 4).as("quality"))
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish regex tokenization
+    * (letter runs / digit runs / single other non-space). Both are
+    * Column-only (regexp_extract_all is codegen'd). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " +")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        .as("bpe_tokens"))
+
+  /** Language ID via the deterministic n-gram/stopword heuristic. */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, TextStats.langId(t)) }
+      .toDF("doc_id", "lang_guess")
+  }
+
+  /** Rolling-hash document fingerprint + winnowed sketch size. The
+    * fingerprint is whitespace-insensitive (word sequence hash), so
+    * reformatted copies collide — cheaper than MinHash when only
+    * re-flow dedup is needed. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, TextStats.fingerprint(t), TextStats.winnow(t).length) }
+      .toDF("doc_id", "fingerprint", "sketch_size")
+  }
+}
