@@ -453,7 +453,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (corpusCte + """,
       |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
       |grams AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ws[i+1] || ws[i+2] AS gram
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM words)
       |),
       |kept AS (SELECT doc_id, gram FROM grams

@@ -12,16 +12,16 @@ object TextStats {
     text.split("\\s+").filter(_.nonEmpty)
 
   /** Word n-gram shingles, distinct, sorted (sorted for LSH/MinHash
-    * determinism). Joined with '' so grams are unambiguous. */
+    * determinism). Space-joined — words cannot contain spaces, so grams are unambiguous. */
   def wordNgrams(text: String, n: Int): Array[String] = {
     val ws = words(text)
     if (ws.length < n) {
-      if (ws.isEmpty) Array.empty else Array(ws.mkString(""))
+      if (ws.isEmpty) Array.empty else Array(ws.mkString(" "))
     } else {
       val set = scala.collection.mutable.SortedSet.empty[String]
       var i = 0
       while (i + n <= ws.length) {
-        set += ws.slice(i, i + n).mkString("")
+        set += ws.slice(i, i + n).mkString(" ")
         i += 1
       }
       set.toArray

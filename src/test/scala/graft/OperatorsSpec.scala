@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Hashing, TextStats}
+import graft.operators._
+
+class TextStatsSpec extends AnyFunSuite {
+  test("word ngrams: distinct, sorted, short-text fallback") {
+    assert(TextStats.wordNgrams("a b c d", 3).toSet == Set("a b c", "b c d"))
+    assert(TextStats.wordNgrams("a b", 3).toSet == Set("a b"))
+    assert(TextStats.wordNgrams("", 3).isEmpty)
+  }
+  test("simhash: near-identical texts within small hamming distance") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a + " extra"
+    assert(TextStats.hamming(TextStats.simhash(a), TextStats.simhash(b)) <= 8)
+    // very different texts far apart
+    val c = "completely unrelated words here about databases and query engines"
+    assert(TextStats.hamming(TextStats.simhash(a), TextStats.simhash(c)) > 10)
+    // deterministic
+    assert(TextStats.simhash(a) == TextStats.simhash(a))
+  }
+  test("simhash bands: hamming<=3 pair shares at least one band (pigeonhole)") {
+    val h1 = 0x123456789abcdef0L
+    val h2 = h1 ^ 0x8001L ^ (1L << 40) // 3 bits flipped
+    val b1 = TextStats.simhashBands(h1)
+    val b2 = TextStats.simhashBands(h2)
+    assert(b1.zip(b2).exists { case (x, y) => x == y })
+  }
+  test("fingerprint: whitespace-insensitive, content-sensitive") {
+    assert(TextStats.fingerprint("a b  c") == TextStats.fingerprint("a b c"))
+    assert(TextStats.fingerprint("a b c") != TextStats.fingerprint("a b d"))
+  }
+  test("langId: planted texts per language") {
+    assert(TextStats.langId("the cat is in the house and it is warm") == "en")
+    assert(TextStats.langId("der hund ist nicht in das haus und die katze") == "de")
+    assert(TextStats.langId("el perro es un animal y la casa es grande") == "es")
+    assert(TextStats.langId("le chien est dans la maison et le chat est la") == "fr")
+    assert(TextStats.langId("北京大学位于北京。") == "zh")
+    assert(TextStats.langId("12345 67890") == "und")
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val corpus = Dedup.planted(docs)
+
+  test("exact dedup finds exactly the planted exact copies") {
+    val groups = Dedup.exactGroups(corpus).collect()
+    val expected = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(groups.length == expected)
+    assert(groups.forall(_.getLong(1) == 2)) // each group: original + copy
+    // keep-list: one row per distinct text
+    val total = corpus.count()
+    assert(Dedup.exactKeep(corpus).count() == total - expected)
+  }
+
+  test("ngram jaccard finds planted near+exact pairs, no random-pair FPs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus).as[(Long, Long, Double)].collect()
+    val near = docs.filter(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect()
+    near.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 2000000L),
+        s"missing planted near-pair for $id")
+    }
+    // emitted pairs all satisfy the threshold and canonical ordering
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0.5))
+    // (the driver's filler corpus CAN contain natural near-dups — those
+    // are legitimate output, so no no-natural-pairs assertion here)
+  }
+
+  test("minhash LSH recall vs exact ngram jaccard is >= 0.95 and precision 1.0") {
+    val exact = Dedup.ngramJaccardPairs(corpus)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(corpus)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // precision: every LSH pair passes the exact-jaccard verify, so it
+    // must also be in the exhaustive exact set
+    assert(lsh.subsetOf(exact), s"LSH emitted non-exact pairs: ${lsh.diff(exact).take(3)}")
+    assert(lsh.size.toDouble / exact.size >= 0.95,
+      s"LSH recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash finds planted exact pairs (hamming 0)") {
+    val pairs = Dedup.simhashPairs(corpus).as[(Long, Long, Int)].collect()
+    val exactIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id").as[Long].collect()
+    exactIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000000L && p._3 == 0))
+    }
+  }
+
+  test("embedding cosine: LSH-bucketed equals exact on planted scaled copies") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001)).as("embedding")))
+    val exact = Dedup.embedCosinePairs(planted, 0.99, planes = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embedCosinePairs(planted, 0.99, planes = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact == lsh) // scaling preserves sign buckets → full recall
+    assert(exact.nonEmpty)
+    assert(exact.forall { case (a, b) => b == a + 1000000L })
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  test("brute-force topk: k rows per query, ranks 1..k, cos descending") {
+    val res = Similarity.bruteForceTopK(emb, 0L until 10L, 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.length == 50)
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p => p.head._3 >= p.last._3))
+    }
+  }
+
+  test("lsh topk recall@5 beats its candidate-fraction baseline") {
+    // Near-orthogonal random vectors are LSH's worst case: recall is
+    // bounded by how much of the corpus the probes reach. planes=4 →
+    // 16 buckets; 4 probes ≈ 25% of the corpus scanned. The test
+    // asserts the machinery beats random candidate selection.
+    val brute = Similarity.bruteForceTopK(emb, 0L until 10L, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, 0L until 10L, 5, planes = 4, probes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    info(f"ANN recall@5 = $recall%.2f (candidate fraction ~0.25)")
+    assert(recall >= 0.3, f"recall $recall%.2f should beat the ~0.25 scan fraction")
+  }
+
+  test("cosineCol matches scalar cosine") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosineCol(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - Dedup.cosine(Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))) < 1e-12)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("quality metrics on a known text") {
+    val df = Seq((1L, "Hello World 42 ok")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df).head()
+    assert(r.getLong(1) == 17) // n_chars
+    assert(r.getLong(2) == 4)  // n_words
+    assert(r.getDouble(4) == 0.1176) // digit_ratio 2/17
+    assert(r.getDouble(6) == 0.1176) // upper_ratio 2/17
+  }
+  test("token counts on known text") {
+    val df = Seq((1L, "ab cd-12 x!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df).head()
+    assert(r.getInt(1) == 3)
+    // ab | cd | - | 12 | x | !  → 6 bpe-ish tokens
+    assert(r.getInt(2) == 6)
+  }
+  test("fingerprints deterministic across runs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.fingerprints(docs).as[(Long, Long, Int)].collect().sortBy(_._1)
+    val b = TextAnalysis.fingerprints(docs).as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val blobs = Multimodal.synthesize(docs)
+
+  test("blob synthesis: deterministic, modality from doc_id") {
+    val a = blobs.collect().sortBy(_.doc_id)
+    val b = Multimodal.synthesize(docs).collect().sortBy(_.doc_id)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.doc_id == y.doc_id && x.modality == y.modality)
+      assert(java.util.Arrays.equals(x.payload, y.payload))
+    }
+    assert(a.map(_.modality).toSet == Set("image", "audio", "video"))
+  }
+
+  test("meta parses header; schema is typed") {
+    val m = Multimodal.meta(blobs)
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("doc_id", "modality", "width", "height", "n_frames", "n_bytes"))
+    val rows = m.collect()
+    assert(rows.forall(r => r.width >= 16 && r.height >= 16))
+    assert(rows.filter(_.modality == "video").forall(_.n_frames >= 2))
+    assert(rows.filter(_.modality != "video").forall(_.n_frames == 1))
+  }
+
+  test("features: fixed dims, L1-normalized") {
+    val f = Multimodal.features(blobs).collect()
+    assert(f.forall(_.features.length == 16))
+    assert(f.forall(x => math.abs(x.features.sum - 1.0) < 1e-9))
+  }
+
+  test("frame sampling: stride-2 frames with correct sizes") {
+    val metas = Multimodal.meta(blobs).collect()
+      .filter(_.modality == "video").map(m => m.doc_id -> m).toMap
+    val frames = Multimodal.sampleFrames(blobs, 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fr =>
+      val m = metas(fr.doc_id)
+      assert(fr.frame_idx % 2 == 0 && fr.frame_idx < m.n_frames)
+      assert(fr.frame_bytes.length == m.width * m.height)
+    }
+    val expected = metas.values.map(m => (m.n_frames + 1) / 2).sum
+    assert(frames.length == expected)
+  }
+}
+
+class HashingSpec extends AnyFunSuite {
+  test("minhash estimates jaccard within tolerance") {
+    val a = (1 to 100).map("a" + _).toArray
+    val b = ((1 to 80).map("a" + _) ++ (1 to 20).map("b" + _)).toArray
+    val ma = Hashing.minhash(a, 128)
+    val mb = Hashing.minhash(b, 128)
+    val est = ma.zip(mb).count(p => p._1 == p._2).toDouble / 128
+    val truth = Hashing.jaccard(a, b) // 80/120 ≈ 0.667
+    assert(math.abs(est - truth) < 0.15, s"est=$est truth=$truth")
+  }
+  test("band keys: equal signatures share all bands, disjoint share none") {
+    val s1 = Array.tabulate(32)(i => i.toLong)
+    val s2 = Array.tabulate(32)(i => i.toLong + 1000)
+    assert(Hashing.bandKeys(s1, 16).sameElements(Hashing.bandKeys(s1, 16)))
+    assert(!Hashing.bandKeys(s1, 16).zip(Hashing.bandKeys(s2, 16)).exists(p => p._1 == p._2))
+  }
+}
