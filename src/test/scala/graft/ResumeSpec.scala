@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A18: per-partition checkpointed lineage + resumable runs
+  * (SURVEY.md §5.6, BASELINE.json north_rule "resumable from checkpoint
+  * with per-partition lineage + metrics"). */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("checkpointed run writes lineage + manifest; rerun resumes (no recompute)") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val cfg = Pipeline.Config(nParts = 8, runId = "r1", checkpointDir = Some(dir))
+
+    val t0 = System.nanoTime()
+    val out1 = Pipeline.runOnTestdata(spark, sfDir, 1, cfg)
+    val triples1 = out1.triples.as[(String, String, String)].collect().toSet
+    val coldSec = (System.nanoTime() - t0) / 1e9
+
+    // lineage: every partitioned stage has one commit row per part_id,
+    // global stages have part_id = -1
+    val lin = new graft.plans.Lineage(spark, dir, "r1")
+    val rows = lin.table.select("stage", "part_id").as[(String, Int)].collect()
+    assert(rows.count(_._1 == "extracted") == 8)
+    assert(rows.count(_._1 == "triples_raw") == 8)
+    assert(rows.filter(_._1 == "canon_map").map(_._2).toSeq == Seq(-1))
+    assert(rows.filter(_._1 == "triples").map(_._2).toSeq == Seq(-1))
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length, "duplicate commits")
+
+    // Iceberg-emulation sink: manifest exists and is valid JSON-ish
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/triples_table/_manifest.json")))
+    assert(manifest.contains("\"snapshot_id\"") && manifest.contains("\"partitions\""))
+
+    // resume: second run with same runId skips all committed stages
+    val t1 = System.nanoTime()
+    val out2 = Pipeline.runOnTestdata(spark, sfDir, 1, cfg)
+    val triples2 = out2.triples.as[(String, String, String)].collect().toSet
+    val warmSec = (System.nanoTime() - t1) / 1e9
+    assert(triples2 == triples1, "resumed run changed the output")
+    val rows2 = lin.table.select("stage", "part_id").as[(String, Int)].collect()
+    assert(rows2.length == rows.length, "resume re-committed stages")
+    info(f"cold=$coldSec%.1fs warm=$warmSec%.1fs")
+    assert(warmSec < coldSec, "resume not faster than cold run")
+  }
+
+  test("partial run resumes: only missing partitions recompute") {
+    val dir = Files.createTempDirectory("graft-resume2").toString
+    val lin = new graft.plans.Lineage(spark, dir, "rX")
+
+    // simulate a killed run: stage committed for only half the partitions
+    val full = spark.range(0, 1000)
+      .select(col("id"), pmod(col("id"), lit(4)).cast("int").as("part_id"))
+    lin.runPartitioned("stage_a", full.filter(col("part_id") < 2))
+    assert(lin.completedParts("stage_a") == Set(0, 1))
+
+    // resume with the full input: partitions 2,3 are computed, 0,1 kept
+    val recovered = lin.runPartitioned("stage_a", full)
+    assert(recovered.count() == 1000)
+    assert(lin.completedParts("stage_a") == Set(0, 1, 2, 3))
+    // committed rows_out per partition = 250 each
+    val per = lin.table.filter(col("stage") === "stage_a")
+      .groupBy("part_id").agg(sum("rows_out").as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(per == Map(0 -> 250L, 1 -> 250L, 2 -> 250L, 3 -> 250L))
+  }
+}
