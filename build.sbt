@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Keep the heap MODERATE (8-12g): oversized heaps let the young gen
+  // balloon to 10GB+, and each young collection then faults/copies
+  // across it — observed as 3-10s pauses and 5-15x wall-clock variance
+  // in local[32] runs. A bounded heap with ParallelGC + pre-touched
+  // pages gives stable, fast collections for this allocation-transient
+  // batch workload.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseParallelGC",
+  "-XX:ParallelGCThreads=16",
+  "-XX:+AlwaysPreTouch",
 )

@@ -49,11 +49,21 @@ object Pipeline {
         val extracted = Stages.extract(pages, cfg.nParts)
         val tagged = Stages.tag(extracted, bcModel)
         val ments = Stages.mentions(tagged)
+        // raw triples feed BOTH linking (node build) and the canonical
+        // rewrite; persisting them makes the expensive extract→Viterbi
+        // chain run exactly once per action. Only the 7 columns those
+        // two consumers need are cached — trimming url/sent_idx/rule_id
+        // roughly halves the cached bytes, which is what decides
+        // whether the cache spills to the (shared, non-scaling) local
+        // disk. (Checkpointed mode materializes the full stage to
+        // storage instead — the 100 TB shape.)
         val raw = Stages.rawTriples(tagged)
-        val nodes = Linking.nodes(ments, cfg.saltMod)
-        val edges = Linking.edges(Linking.signatures(nodes))
-        val canon = Canonicalize.canonMap(nodes, edges)
-        val triples = Canonicalize.rewrite(raw, canon)
+        val rawSlim = raw.toDF().select("subj", "subj_type", "subj_key",
+            "pred", "obj", "obj_type", "obj_key")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nodes = Linking.nodesFromTripleArgs(rawSlim, cfg.saltMod)
+        val canon = Canonicalize.canonMapAdaptive(nodes)
+        val triples = Canonicalize.rewrite(rawSlim, canon)
         Outputs(extracted, tagged, ments, raw, canon, triples)
 
       case Some(dir) =>
@@ -69,9 +79,8 @@ object Pipeline {
         })
         val rawDs = raw.drop("part_id").as[RawTripleRow]
         val ments = Stages.mentions(tagged)
-        val nodes = Linking.nodes(ments, cfg.saltMod)
-        val edges = Linking.edges(Linking.signatures(nodes))
-        val canon = lin.runGlobal("canon_map", Canonicalize.canonMap(nodes, edges))
+        val nodes = Linking.nodesFromTriples(rawDs, cfg.saltMod)
+        val canon = lin.runGlobal("canon_map", Canonicalize.canonMapAdaptive(nodes))
         val triples = lin.runGlobal("triples", Canonicalize.rewrite(rawDs, canon))
         TripleSink.write(triples, s"$dir/triples_table", cfg.runId, cfg.nParts)
         Outputs(extracted, tagged, ments, rawDs, canon, triples)

@@ -62,6 +62,21 @@ object SparkEntry {
             count(lit(1)), 4).as("avg_disc"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // A17 salting: two-phase salted aggregation over a 3-value hot key —
+    // the oracle is the plain GROUP BY, proving the salt is semantically
+    // transparent (the skew guard used by Linking.nodes at scale)
+    "q_agg_salted" -> ((s, d) => {
+      val salted = t(s, d, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pc"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("pq"))
+      salted.groupBy("l_returnflag")
+        .agg(sum("pc").as("cnt"),
+          round(sum("pq").cast("double"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_distinct" -> ((s, d) =>
       t(s, d, "customer").groupBy("c_mktsegment")
         .agg(countDistinct("c_nationkey").as("nations"), count(lit(1)).as("cnt"))
@@ -346,6 +361,11 @@ object SparkEntry {
         |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price,
         |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_distinct" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nations, count(*) AS cnt

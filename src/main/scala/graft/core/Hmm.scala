@@ -18,6 +18,26 @@ final case class HmmModel(
     logB: Array[Map[Char, Double]],
     logBUnk: Array[Double]) extends Serializable {
   def tagIndex: Map[String, Int] = tags.zipWithIndex.toMap
+
+  /** Char-indexed emission table: row = per-tag log-emission vector for
+    * that char, or null for unseen chars (→ logBUnk). Built lazily ONCE
+    * per JVM after broadcast deserialization (@transient): replaces T
+    * boxed Map lookups per character in the Viterbi hot loop with one
+    * array index. ~|vocab| rows ≈ a few MB — executor-resident, like
+    * the broadcast model itself. */
+  @transient lazy val emitFlat: Array[Array[Double]] = {
+    val flat = new Array[Array[Double]](65536)
+    var t = 0
+    while (t < tags.length) {
+      logB(t).foreach { case (c, p) =>
+        var row = flat(c)
+        if (row == null) { row = logBUnk.clone(); flat(c) = row }
+        row(t) = p
+      }
+      t += 1
+    }
+    flat
+  }
 }
 
 object Hmm {
@@ -78,13 +98,19 @@ object Hmm {
     if (n == 0) return Array.empty
     val delta = Array.ofDim[Double](n, T)
     val back = Array.ofDim[Int](n, T)
+    val flat = model.emitFlat
+    val unk = model.logBUnk
+    var e0 = if (chars(0) < flat.length) flat(chars(0)) else null
+    if (e0 == null) e0 = unk
     var t = 0
     while (t < T) {
-      delta(0)(t) = model.logPi(t) + emit(model, t, chars(0))
+      delta(0)(t) = model.logPi(t) + e0(t)
       t = t + 1
     }
     var i = 1
     while (i < n) {
+      var e = if (chars(i) < flat.length) flat(chars(i)) else null
+      if (e == null) e = unk
       var j = 0
       while (j < T) {
         var best = Double.NegativeInfinity
@@ -95,7 +121,7 @@ object Hmm {
           if (s > best) { best = s; bestK = k }
           k += 1
         }
-        delta(i)(j) = best + emit(model, j, chars(i))
+        delta(i)(j) = best + e(j)
         back(i)(j) = bestK
         j += 1
       }

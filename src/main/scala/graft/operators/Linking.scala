@@ -59,6 +59,44 @@ object Linking {
       .as[NodeRow]
   }
 
+  /** Entity nodes derived from the raw-triples table instead of the
+    * full mentions table. For canonical triple rewriting this is
+    * complete — an entity that never appears in a triple cannot affect
+    * the rewrite — and it lets the flagship plan derive the expensive
+    * tagged stage ONCE (raw triples feed both linking and rewrite; the
+    * mentions branch would force a second pass over the corpus). */
+  def nodesFromTriples(raw: Dataset[RawTripleRow], saltMod: Int = 16): Dataset[NodeRow] =
+    nodesFromTripleArgs(raw.toDF(), saltMod)
+
+  /** Same as [[nodesFromTriples]] but over the slim 7-column projection
+    * the pipeline persists (no url/sent_idx — the salt only needs any
+    * deterministic per-row spreader, so it hashes the triple itself). */
+  def nodesFromTripleArgs(raw: DataFrame, saltMod: Int = 16): Dataset[NodeRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val args = raw
+      .select(col("subj_type").as("etype"), col("subj_key").as("norm_key"),
+        col("subj").as("mention"),
+        xxhash64(col("subj"), col("pred"), col("obj"), lit(0)).as("rowh"))
+      .unionByName(raw
+        .select(col("obj_type").as("etype"), col("obj_key").as("norm_key"),
+          col("obj").as("mention"),
+          xxhash64(col("subj"), col("pred"), col("obj"), lit(1)).as("rowh")))
+    val salted = args
+      .withColumn("salt", pmod(col("rowh"), lit(saltMod)))
+      .groupBy("etype", "norm_key", "mention", "salt").count()
+      .groupBy("etype", "norm_key", "mention").agg(sum("count").as("cnt"))
+    val w = Window.partitionBy("etype", "norm_key")
+      .orderBy(col("cnt").desc, col("mention").asc)
+    salted
+      .withColumn("rk", row_number().over(w))
+      .withColumn("node_cnt", sum("cnt").over(Window.partitionBy("etype", "norm_key")))
+      .filter(col("rk") === 1)
+      .select(col("etype"), col("norm_key"), col("mention").as("surface"),
+        col("node_cnt").as("cnt"))
+      .as[NodeRow]
+  }
+
   /** Narrow map: shingles → MinHash signature → band keys. */
   def signatures(nodes: Dataset[NodeRow]): Dataset[NodeSigRow] = {
     import nodes.sparkSession.implicits._

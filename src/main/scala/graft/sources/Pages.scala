@@ -26,8 +26,15 @@ object Pages {
 
   def synthesize(spark: SparkSession, sfDir: String, replicate: Int = 1): Dataset[PageRow] = {
     import spark.implicits._
+    // The testdata parquet is one small file → 1–2 scan splits, which
+    // would serialize the whole narrow extract→tag chain regardless of
+    // core count. Real Common-Crawl inputs arrive as thousands of
+    // splits; emulate that by spreading the seed docs across the
+    // session's parallelism BEFORE the replicate fan-out, so the cheap
+    // rows shuffle and the expensive synthesis+tagging run wide.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang", "source").as[DocRow]
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     val expanded =
       if (replicate <= 1) docs
       else docs.flatMap { d =>

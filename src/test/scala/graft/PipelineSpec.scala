@@ -37,11 +37,23 @@ class CcSpec extends AnyFunSuite {
     assert(!got.contains(20L))
   }
 
+  test("local union-find path equals distributed large/small-star path") {
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(500)((rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+      .toDF("src", "dst")
+    val local = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toSet
+    val dist = ConnectedComponents.run(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
+  }
+
   test("adversarial star + chain graphs") {
     // hot star: one hub linked to 1000 spokes; plus a 64-node chain
     val star = (1L to 1000L).map(i => (5000L, 5000L + i))
     val chain = (0L until 63L).map(i => (100000L + i, 100000L + i + 1))
-    val got = ConnectedComponents.run((star ++ chain).toDF("src", "dst"))
+    // force the distributed path — the adversarial shapes target it
+    val got = ConnectedComponents.run((star ++ chain).toDF("src", "dst"), localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(star.forall { case (a, b) => got(a) == 5000L && got(b) == 5000L })
     assert(chain.forall { case (a, b) => got(a) == 100000L && got(b) == 100000L })
@@ -80,6 +92,18 @@ class LinkingSpec extends AnyFunSuite {
     assert(canon("阿里巴巴集团") == "阿里巴巴")
     assert(canon("北大") == "北京大学")
     assert(canon("清华大学") == "清华大学")
+  }
+
+  test("adaptive local canon map equals distributed canon map") {
+    // node table from the real fixture pipeline at sf0.001
+    val raw = Pipeline.runOnTestdata(spark, "/root/testdata/sf0.001").rawTriples
+    val nodes = Linking.nodesFromTriples(raw)
+    val local = Canonicalize.canonMapAdaptive(nodes)
+      .as[(String, String, String)].collect().toSet
+    val dist = Canonicalize.canonMapAdaptive(nodes, localThreshold = 0)
+      .as[(String, String, String)].collect().toSet
+    assert(local == dist)
+    assert(local.nonEmpty)
   }
 }
 
