@@ -89,6 +89,7 @@ object Pipeline {
 
   /** Convenience: synthesize pages from a testdata dir and run direct. */
   def runOnTestdata(spark: SparkSession, sfDir: String,
-                    replicate: Int = 1, cfg: Config = Config()): Outputs =
-    run(spark, Pages.synthesize(spark, sfDir, replicate), cfg)
+                    replicate: Int = 1, cfg: Config = Config(),
+                    heavy: Int = 1): Outputs =
+    run(spark, Pages.synthesize(spark, sfDir, replicate, heavy), cfg)
 }
