@@ -24,10 +24,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A crashed query must not masquerade as a fast run: failures are
+    // recorded with the -1.0 sentinel (and listed in "failed").
     def time(body: => Long): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1.0
+      }
     }
 
     // flagship kg-build end-to-end (pages synthesized from sfDir docs)
@@ -39,8 +44,9 @@ object Bench {
     }
     val all = ("kg_flagship" -> flagshipSec) +: results
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -470,11 +470,17 @@ object SparkEntry {
       |SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS keep_id
       |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin),
 
+    // tokenization mirrors TextStats.wordNgrams exactly: split on \s+
+    // with empty tokens dropped (tabs/newlines/runs of spaces all fold),
+    // and docs with fewer than 3 words contribute their whole word
+    // sequence as a single gram.
     "q_dedup_ngram" -> (corpusCte + """,
-      |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      |words AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws FROM corpus),
       |grams AS (
       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM words)
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM words WHERE len(ws) >= 3)
+      |  UNION
+      |  SELECT doc_id, array_to_string(ws, ' ') AS gram FROM words WHERE len(ws) BETWEEN 1 AND 2
       |),
       |kept AS (SELECT doc_id, gram FROM grams
       |         WHERE gram IN (SELECT gram FROM grams GROUP BY 1 HAVING count(*) <= 1000)),

@@ -34,11 +34,19 @@ object Canonicalize {
     if (localThreshold <= 0)
       return canonMap(nodes, Linking.edges(Linking.signatures(nodes)))
     nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out =
-      if (nodes.count() <= localThreshold) canonMapLocal(spark, nodes.collect())
-      else canonMap(nodes, Linking.edges(Linking.signatures(nodes)))
-    nodes.unpersist()
-    out
+    if (nodes.count() <= localThreshold) {
+      val out = canonMapLocal(spark, nodes.collect())
+      nodes.unpersist()
+      out
+    } else {
+      // the distributed plan is LAZY — unpersisting before it executes
+      // would drop the cache unused and recompute the node build for
+      // signatures/edges AND canonMap. localCheckpoint materializes from
+      // the still-warm cache; downstream reads the checkpoint.
+      val chk = nodes.localCheckpoint(true)
+      nodes.unpersist()
+      canonMap(chk, Linking.edges(Linking.signatures(chk)))
+    }
   }
 
   /** Driver-side mirror of signatures→edges→CC→representative-pick.

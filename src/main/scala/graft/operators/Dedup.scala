@@ -90,31 +90,43 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: per-doc signature (narrow), band-key
-    * explode, bucket self-join, exact-Jaccard verification on the
-    * candidate's shingle sets. Same blocking machinery as entity
-    * linking (graft.operators.Linking) applied at document granularity. */
+    * explode, bucket self-join, exact-Jaccard verification. Same
+    * blocking machinery as entity linking (graft.operators.Linking)
+    * applied at document granularity.
+    *
+    * Payload discipline (the 100 TB shape): the band self-join moves
+    * ONLY (doc_id, band_idx, band_key) — 24 bytes/row. Shipping each
+    * doc's shingle array through the ×numBands explode and both sides
+    * of the shuffle would write ~2·numBands× the corpus to shuffle
+    * disk. The few surviving candidate PAIRS are instead joined back to
+    * the one-row-per-doc text table (two cheap hash joins on doc_id)
+    * and shingles are recomputed narrowly in the verify step — CPU on
+    * candidates only, traded for corpus-scale shuffle IO. */
   def minhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                    numBands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        val sh = TextStats.wordNgrams(t, n)
-        (id, sh, Hashing.bandKeys(Hashing.minhash(sh, numHashes), numBands))
+    val slim = docs.select(col("doc_id"), col("text"))
+    val banded = slim.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val bands = Hashing.bandKeys(
+          Hashing.minhash(TextStats.wordNgrams(t, n), numHashes), numBands)
+        bands.iterator.zipWithIndex.map { case (k, i) => (id, i, k) }
       }
-      .toDF("doc_id", "shingles", "bands")
-    val banded = sigs.select(col("doc_id"), col("shingles"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .toDF("doc_id", "band_idx", "band_key")
     val cands = banded.alias("x").join(banded.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("x.shingles").as("sha"),
-        col("y.doc_id").as("b"), col("y.shingles").as("shb"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .dropDuplicates("a", "b")
-      .as[(Long, Array[String], Long, Array[String])]
-    cands.flatMap { case (a, sa, b, sb) =>
-        val j = Hashing.jaccard(sa, sb)
+    cands
+      .join(slim.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+      .join(slim.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .select(col("a"), col("b"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+      .flatMap { case (a, b, ta, tb) =>
+        val j = Hashing.jaccard(TextStats.wordNgrams(ta, n), TextStats.wordNgrams(tb, n))
         if (j >= threshold) Some((a, b, math.rint(j * 10000) / 10000)) else None
       }
       .toDF("a", "b", "jaccard")

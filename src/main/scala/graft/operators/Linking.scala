@@ -69,21 +69,24 @@ object Linking {
     nodesFromTripleArgs(raw.toDF(), saltMod)
 
   /** Same as [[nodesFromTriples]] but over the slim 7-column projection
-    * the pipeline persists (no url/sent_idx — the salt only needs any
-    * deterministic per-row spreader, so it hashes the triple itself). */
+    * the pipeline persists (no url/sent_idx). The salt must be a TRUE
+    * per-row spreader: hashing the triple's values would send every
+    * duplicate of one hot triple — exactly the skew case the salt
+    * guards against — to a single salt bucket. monotonically_increasing_id
+    * varies per physical row; it is not stable across retries, but the
+    * salt only shapes the partial aggregation — the second groupBy
+    * re-combines, so the final result is retry-independent. */
   def nodesFromTripleArgs(raw: DataFrame, saltMod: Int = 16): Dataset[NodeRow] = {
     val spark = raw.sparkSession
     import spark.implicits._
     val args = raw
       .select(col("subj_type").as("etype"), col("subj_key").as("norm_key"),
-        col("subj").as("mention"),
-        xxhash64(col("subj"), col("pred"), col("obj"), lit(0)).as("rowh"))
+        col("subj").as("mention"))
       .unionByName(raw
         .select(col("obj_type").as("etype"), col("obj_key").as("norm_key"),
-          col("obj").as("mention"),
-          xxhash64(col("subj"), col("pred"), col("obj"), lit(1)).as("rowh")))
+          col("obj").as("mention")))
     val salted = args
-      .withColumn("salt", pmod(col("rowh"), lit(saltMod)))
+      .withColumn("salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltMod)))
       .groupBy("etype", "norm_key", "mention", "salt").count()
       .groupBy("etype", "norm_key", "mention").agg(sum("count").as("cnt"))
     val w = Window.partitionBy("etype", "norm_key")

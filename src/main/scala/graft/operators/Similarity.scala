@@ -9,17 +9,25 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *  - bruteForceTopK — the exact baseline. The query set is small and
   *    broadcast; the corpus streams through ONE narrow pass scoring
-  *    every (query, vector) pair, then a per-query top-k. This is the
-  *    correct 100 TB shape for small query batches: no corpus shuffle,
-  *    score rows (|corpus|·|queries|) are reduced map-side by the
-  *    partial Window/TakeOrdered aggregation before the tiny final
-  *    shuffle on query_id.
+  *    every (query, vector) pair, then the two-level top-k below.
   *  - lshTopK — the scale path for LARGE query sets: both sides hash
   *    into random-hyperplane sign buckets (multi-probe: each query also
   *    probes the `probes` nearest buckets by flipping low bits), join
   *    bucket-to-bucket, exact cosine within the bucket, per-query
   *    top-k. Recall < 1 by design; measured against brute force in
-  *    SimilaritySpec.
+  *    SimilaritySpec. `planes <= 0` auto-scales the bucket count with
+  *    corpus size so expected occupancy stays bounded (see autoPlanes).
+  *
+  * Top-k shape at scale: a plain `row_number over (partition by
+  * query_id)` would shuffle ALL |corpus|×|queries| scored rows into
+  * |queries| reducer partitions — a hot-partition collapse at 10^12
+  * rows (windows have no map-side combine). Instead [[partialTopK]]
+  * keeps a bounded heap of k candidates per query inside each input
+  * partition (narrow mapPartitions), so at most k·|queries| rows leave
+  * any partition; the final exact window then sorts only
+  * ≤ k·|queries|·|partitions| rows. Exact, not approximate: the
+  * (cos desc, vec_id asc) order is total (vec_id is unique), so the
+  * global top-k is contained in the union of per-partition top-k's.
   *
   * Cosine is computed with Column expressions (zip_with + aggregate) —
   * codegen-friendly, no UDF serialization of the vectors.
@@ -34,48 +42,111 @@ object Similarity {
     dot / sqrt(na * nb)
   }
 
-  /** Exact top-k cosine neighbors for each query vector (self-join by
-    * id membership: queries = corpus rows whose vec_id ∈ queryIds). */
-  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  /** Narrow scored stream for the brute-force path: corpus × broadcast
+    * queries (queries = corpus rows whose vec_id ∈ queryIds), one pass,
+    * no corpus shuffle. Columns: (query_id, vec_id, cos). */
+  def bruteScored(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding"))
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = corpus.crossJoin(broadcast(queries))
+    corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosineCol(col("qv"), col("embedding")), 4))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineCol(col("qv"), col("embedding")), 4).as("cos"))
+  }
+
+  /** Per-partition bounded-heap top-k (the map-side combine a window
+    * lacks): emits at most k rows per (input partition, query). */
+  def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // max-heap with the WORST candidate on top: lowest cos, then
+        // highest vec_id — the same total order the final window uses
+        val worstFirst =
+          Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, id, c) =>
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < k) h.enqueue((c, id))
+          else {
+            val (wc, wid) = h.head
+            if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (c, id) => (q, id, c) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
+  /** Exact per-query top-k: bounded-heap partials, then a final window
+    * over the tiny reduced set. */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w))
+    partialTopK(scored, k)
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
   }
 
-  /** LSH-bucketed ANN: sign-bucket both sides, multi-probe the query
-    * side (bit-flip probes), exact cosine inside candidate buckets. */
-  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              planes: Int = 8, probes: Int = 4): DataFrame = {
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    topK(bruteScored(emb, queryIds), k)
+
+  /** Bucket-count policy: planes = ⌈log₂(n / targetBucket)⌉ (floor 4),
+    * so the expected bucket occupancy n / 2^planes stays ≈ targetBucket
+    * as the corpus grows — at 10^12 vectors that is 28 planes / 2^28
+    * buckets, keeping the within-bucket exact-cosine work bounded.
+    * (Recall is then governed by `probes`, which multi-probes the
+    * Hamming-nearest buckets — scale probes, not bucket size.) */
+  def autoPlanes(n: Long, targetBucket: Long = 1L << 12): Int =
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n + targetBucket - 1) / targetBucket) - 1))
+
+  /** Per-bucket occupancy for a given plane count — the quantity
+    * autoPlanes bounds; logged by SimilaritySpec. */
+  def bucketOccupancy(emb: DataFrame, planes: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (_, v) => Dedup.signBucket(v, planes) }
+      .toDF("bucket").groupBy("bucket").count()
+  }
+
+  /** LSH-bucketed ANN: sign-bucket both sides, multi-probe the query
+    * side (bit-flip probes), exact cosine inside candidate buckets,
+    * two-level exact top-k on the bucket-limited candidates.
+    * `planes <= 0` → autoPlanes(corpus size). */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              planes: Int = 0, probes: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = if (planes > 0) planes else autoPlanes(emb.count())
     val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, Dedup.signBucket(v, planes), v) }
+      .map { case (id, v) => (id, Dedup.signBucket(v, p), v) }
       .toDF("vec_id", "bucket", "v")
     val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("bucket").as("qb"), col("v").as("qv"))
       .as[(Long, Long, Array[Double])]
       .flatMap { case (id, b, v) =>
         // probe the home bucket plus single-bit flips (nearest buckets)
-        (Seq(b) ++ (0 until math.min(probes - 1, planes)).map(i => b ^ (1L << i)))
+        (Seq(b) ++ (0 until math.min(probes - 1, p)).map(i => b ^ (1L << i)))
           .distinct.map(pb => (id, pb, v))
       }
       .toDF("query_id", "bucket", "qv")
     val scored = corpus.join(broadcast(queries), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosineCol(col("qv"), col("v")), 4))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineCol(col("qv"), col("v")), 4).as("cos"))
+    topK(scored, k)
   }
 }

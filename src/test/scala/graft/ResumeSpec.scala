@@ -37,7 +37,10 @@ class ResumeSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/triples_table/_manifest.json")))
     assert(manifest.contains("\"snapshot_id\"") && manifest.contains("\"partitions\""))
 
-    // resume: second run with same runId skips all committed stages
+    // resume: second run with same runId skips all committed stages.
+    // Semantics only — a wall-clock warm<cold assert would be JIT/GC
+    // noise at sf0.001 (the skip itself is proven by the unchanged
+    // lineage commit count: zero new commit rows = zero recomputation).
     val t1 = System.nanoTime()
     val out2 = Pipeline.runOnTestdata(spark, sfDir, 1, cfg)
     val triples2 = out2.triples.as[(String, String, String)].collect().toSet
@@ -45,8 +48,7 @@ class ResumeSpec extends AnyFunSuite {
     assert(triples2 == triples1, "resumed run changed the output")
     val rows2 = lin.table.select("stage", "part_id").as[(String, Int)].collect()
     assert(rows2.length == rows.length, "resume re-committed stages")
-    info(f"cold=$coldSec%.1fs warm=$warmSec%.1fs")
-    assert(warmSec < coldSec, "resume not faster than cold run")
+    info(f"cold=$coldSec%.1fs warm=$warmSec%.1fs (informational)")
   }
 
   test("partial run resumes: only missing partitions recompute") {
