@@ -25,11 +25,21 @@ import graft.sources.{PageRow, Pages, TripleSink}
   */
 object Pipeline {
 
+  /** @param fingerprintInputs checkpointed mode only: spend one extra
+    *   aggregation pass per stage computing input fingerprints, so a
+    *   resume detects changed upstream data and recomputes exactly the
+    *   affected partitions (Lineage). Disable for immutable inputs.
+    * @param localThreshold entity-node count below which linking/CC run
+    *   driver-side (size-adaptive small-graph path); 0 forces the
+    *   distributed LSH-join + large/small-star path — the 100×-scale
+    *   code path, benched via q_kg_triples_dist. */
   final case class Config(
       nParts: Int = 32,
       saltMod: Int = 16,
       runId: String = "run-1",
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      fingerprintInputs: Boolean = true,
+      localThreshold: Long = 1L << 20)
 
   final case class Outputs(
       extracted: DataFrame,
@@ -62,26 +72,38 @@ object Pipeline {
             "pred", "obj", "obj_type", "obj_key")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nodes = Linking.nodesFromTripleArgs(rawSlim, cfg.saltMod)
-        val canon = Canonicalize.canonMapAdaptive(nodes)
+        val canon = Canonicalize.canonMapAdaptive(nodes, cfg.localThreshold)
         val triples = Canonicalize.rewrite(rawSlim, canon)
         Outputs(extracted, tagged, ments, raw, canon, triples)
 
       case Some(dir) =>
+        import org.apache.spark.sql.functions._
         val lin = new Lineage(spark, dir, cfg.runId)
+        // input fingerprints (per-partition bit_xor of row hashes) let a
+        // resume recompute exactly the partitions whose input changed
+        val pagesParts =
+          if (!cfg.fingerprintInputs) None
+          else Some(pages.toDF().withColumn("part_id",
+            pmod(xxhash64(col("url")), lit(cfg.nParts)).cast("int")))
         val extracted = lin.runPartitioned("extracted",
-          Stages.extract(pages, cfg.nParts))
+          Stages.extract(pages, cfg.nParts), pagesParts)
         val tagged = Stages.tag(extracted, bcModel)
         val raw = lin.runPartitioned("triples_raw", {
           // part_id rides along from extracted via a re-derivation on url
-          import org.apache.spark.sql.functions._
           Stages.rawTriples(tagged).toDF()
             .withColumn("part_id", pmod(xxhash64(col("url")), lit(cfg.nParts)).cast("int"))
-        })
+        }, if (cfg.fingerprintInputs) Some(extracted) else None)
         val rawDs = raw.drop("part_id").as[RawTripleRow]
         val ments = Stages.mentions(tagged)
         val nodes = Linking.nodesFromTriples(rawDs, cfg.saltMod)
-        val canon = lin.runGlobal("canon_map", Canonicalize.canonMapAdaptive(nodes))
-        val triples = lin.runGlobal("triples", Canonicalize.rewrite(rawDs, canon))
+        val rawFp = if (cfg.fingerprintInputs) Some(lin.globalFingerprint(raw)) else None
+        val canon = lin.runGlobal("canon_map",
+          Canonicalize.canonMapAdaptive(nodes, cfg.localThreshold), rawFp)
+        // triples depend on BOTH raw and canon: combine the fingerprints
+        val canonFp = if (cfg.fingerprintInputs) Some(lin.globalFingerprint(canon)) else None
+        val triplesFp = for { a <- rawFp; b <- canonFp } yield (a._1 ^ b._1, a._2 + b._2)
+        val triples = lin.runGlobal("triples",
+          Canonicalize.rewrite(rawDs, canon), triplesFp)
         TripleSink.write(triples, s"$dir/triples_table", cfg.runId, cfg.nParts)
         Outputs(extracted, tagged, ments, rawDs, canon, triples)
     }

@@ -229,6 +229,22 @@ object SparkEntry {
       Pipeline.runOnTestdata(s, d).extracted
         .select("url", "text_sha256").orderBy("url")),
 
+    // A19 as a first-class query: the engine reports its own triple
+    // P/R vs the in-repo oracle (one row; rows-only driver check — the
+    // oracle is not SQL-expressible; equality vs the spec's inline
+    // computation asserted in PipelineSpec)
+    "q_kg_eval" -> ((s, d) =>
+      Evaluation.prVsOracle(s, d, Pipeline.runOnTestdata(s, d).triples)),
+
+    // the 100×-scale code path: distributed MinHash-LSH linking +
+    // large/small-star connected components (localThreshold=0 disables
+    // the small-graph driver shortcut). Output must equal q_kg_triples
+    // exactly (asserted in PipelineSpec); benched per round so the
+    // distributed tail has standing performance evidence.
+    "q_kg_triples_dist" -> ((s, d) =>
+      Pipeline.runOnTestdata(s, d, 1, Pipeline.Config(localThreshold = 0))
+        .triples.orderBy("subj", "pred", "obj")),
+
     // ---- dedup suite (training-data pipeline) ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Dedup.planted(t(s, d, "documents")))
@@ -279,6 +295,16 @@ object SparkEntry {
 
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents")).orderBy("doc_id")),
+
+    // REAL byte-pair encoding (not the regex stand-in): merges learned
+    // from this corpus's word-frequency dict, counts via broadcast
+    // ranks + memoized narrow encode. Model-based → rows-only check;
+    // BpeSpec pins the merge learning on a hand-checkable corpus.
+    "q_text_bpe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.bpeTokens(docs, TextAnalysis.trainBpe(docs, numMerges = 200))
+        .orderBy("doc_id")
+    }),
 
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id")),

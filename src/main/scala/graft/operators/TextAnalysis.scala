@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.core.TextStats
+import graft.core.{Bpe, TextStats}
 
 /** Text-analysis operators for training-data curation: language ID,
   * quality scoring, token counting, document fingerprinting.
@@ -58,6 +58,45 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, TextStats.langId(t)) }
       .toDF("doc_id", "lang_guess")
+  }
+
+  /** Real BPE training (graft.core.Bpe): the distributed part is ONE
+    * groupBy(word).count over the corpus — the word dict is sublinear
+    * in corpus size and capped at maxWords by (freq desc, word asc)
+    * for determinism; the sequential merge loop runs driver-side over
+    * that small dict, as public BPE trainers do. */
+  def trainBpe(docs: DataFrame, numMerges: Int = 200,
+               maxWords: Int = 50000): Bpe.Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w").asc)
+      .limit(maxWords)
+      .as[(String, Long)].collect().toSeq
+    Bpe.train(wf, numMerges)
+  }
+
+  /** Per-doc REAL BPE token counts: ranks broadcast once per executor,
+    * per-partition word→count memo (Zipf ⇒ high hit rate), narrow. */
+  def bpeTokens(docs: DataFrame, model: Bpe.Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, t) =>
+          var n = 0
+          TextStats.words(t).foreach { w =>
+            n += memo.getOrElseUpdate(w, m.tokenCount(w))
+          }
+          (id, n)
+        }
+      }
+      .toDF("doc_id", "bpe_real_tokens")
   }
 
   /** Rolling-hash document fingerprint + winnowed sketch size. The

@@ -1,7 +1,8 @@
 package graft.plans
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A18: per-partition checkpointed lineage + metrics → resumable runs
@@ -11,12 +12,29 @@ import org.apache.spark.sql.functions._
   * (dynamic partition overwrite — re-running a partition replaces it, so
   * writes are idempotent) and appends one lineage row per partition to
   * `runDir/_lineage/` parquet:
-  *   (run_id, stage, part_id, rows_out, started_ts, finished_ts, fingerprint)
+  *   (run_id, stage, part_id, rows_in, rows_out,
+  *    started_ts, finished_ts, seq, fingerprint)
   * A lineage row is the commit record: it is appended only after the
   * partition's data write succeeded, so on resume the set of lineage
-  * rows is exactly the set of trustworthy partitions. Resume = anti-join
-  * the input's part_ids against completed ones and recompute only the
-  * difference. Global (unpartitioned) stages use part_id = -1.
+  * rows is exactly the set of trustworthy partitions. Global
+  * (unpartitioned) stages use part_id = -1.
+  *
+  * Resume safety: `fingerprint` is the bit_xor of xxhash64 over every
+  * column of the partition's INPUT rows (order-independent, one
+  * aggregation pass). On resume the input fingerprint is recomputed and
+  * compared against the latest commit — a partition whose upstream
+  * input changed is recomputed instead of silently kept stale. Callers
+  * that cannot (or choose not to) pay the extra input scan pass
+  * `input = None`: commits then carry fingerprint 0 / rows_in -1 and
+  * resume trusts any committed partition (the pre-fingerprint
+  * behavior).
+  *
+  * Metrics: rows_in comes from the same aggregation as the input
+  * fingerprint (free); per-partition rows_out from a post-write count
+  * of the recomputed partitions; and the stage-level rows_out is also
+  * captured DURING the write action via `Dataset.observe` (an
+  * `Observation` accumulator — no extra job), exposed by
+  * [[observedRowsOut]] and cross-checked in ResumeSpec.
   *
   * Paths use Hadoop FS semantics via Spark for data; the lineage commit
   * itself is also parquet-append via Spark, so the whole mechanism works
@@ -26,74 +44,163 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
   import spark.implicits._
 
   private val lineagePath = s"$runDir/_lineage"
+  private val observed = scala.collection.mutable.Map.empty[String, Long]
 
   def table: DataFrame =
     if (exists(lineagePath)) spark.read.parquet(lineagePath)
-    else spark.emptyDataset[(String, String, Int, Long, Long, Long, String)]
-      .toDF("run_id", "stage", "part_id", "rows_out", "started_ts", "finished_ts", "fingerprint")
+    else spark.emptyDataset[(String, String, Int, Long, Long, Long, Long, Long, Long)]
+      .toDF("run_id", "stage", "part_id", "rows_in", "rows_out",
+        "started_ts", "finished_ts", "seq", "fingerprint")
 
+  /** Partitions with any commit record (regardless of fingerprint). */
   def completedParts(stage: String): Set[Int] =
     if (!exists(lineagePath)) Set.empty
     else table.filter(col("run_id") === runId && col("stage") === stage)
       .select("part_id").distinct().as[Int].collect().toSet
 
+  /** Latest committed input fingerprint per partition (latest by commit
+    * sequence — a recomputed partition's new record wins). */
+  def partState(stage: String): Map[Int, Long] =
+    if (!exists(lineagePath)) Map.empty
+    else {
+      val w = Window.partitionBy("part_id").orderBy(col("seq").desc)
+      table.filter(col("run_id") === runId && col("stage") === stage)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("part_id"), col("fingerprint"))
+        .as[(Int, Long)].collect().toMap
+    }
+
+  /** One aggregation pass over a part_id-carrying input: per partition,
+    * (order-independent xxhash64 fingerprint, row count). */
+  def inputStats(in: DataFrame): Map[Int, (Long, Long)] = {
+    val cols = in.columns.filter(_ != "part_id").map(col)
+    in.groupBy(col("part_id"))
+      .agg(bit_xor(xxhash64(cols: _*)).as("fp"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (p, fp, n) => p -> (fp, n) }.toMap
+  }
+
+  /** Whole-table (fingerprint, rows) for global-stage inputs. */
+  def globalFingerprint(in: DataFrame): (Long, Long) = {
+    val row = in.agg(bit_xor(xxhash64(in.columns.map(col): _*)), count(lit(1))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  }
+
+  /** Stage-level rows_out captured by Dataset.observe during the last
+    * write this Lineage instance performed for `stage`. */
+  def observedRowsOut(stage: String): Option[Long] = observed.get(stage)
+
   /** Checkpoint a stage whose DataFrame carries an int `part_id` column.
-    * Recomputes only partitions without a lineage commit record; returns
-    * the full materialized stage output. */
-  def runPartitioned(stage: String, compute: => DataFrame): DataFrame = {
+    * With `input` supplied, recomputes partitions that are uncommitted
+    * OR whose input fingerprint changed; without it, recomputes only
+    * uncommitted partitions. Returns the full materialized stage. */
+  def runPartitioned(stage: String, compute: => DataFrame,
+                     input: Option[DataFrame] = None): DataFrame = {
     val dataPath = s"$runDir/$stage"
-    val done = completedParts(stage)
     val started = System.currentTimeMillis()
-    val df = compute
-    val todo = df.filter(!col("part_id").isin(done.toSeq: _*))
-    val newParts: Array[Int] =
-      if (done.isEmpty) null // unknown yet; derive from written data below
-      else todo.select("part_id").distinct().as[Int].collect()
+    input match {
+      case Some(in) =>
+        val stats = inputStats(in)
+        val state = partState(stage)
+        val todo = stats.keys.filter(p => !state.get(p).contains(stats(p)._1)).toSeq.sorted
+        if (todo.nonEmpty) {
+          val obs = Observation()
+          compute.filter(col("part_id").isin(todo: _*))
+            .observe(obs, count(lit(1)).as("rows_out"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_id")
+            .parquet(dataPath)
+          observed(stage) = obs.get("rows_out").asInstanceOf[Long]
+          val written = spark.read.parquet(dataPath)
+            .filter(col("part_id").isin(todo: _*))
+            .groupBy("part_id").count().as[(Int, Long)].collect().toMap
+          // dynamic overwrite only touches partitions present in the new
+          // data: a stale partition whose recomputed output is EMPTY must
+          // be dropped explicitly or resume would keep serving old rows
+          todo.filterNot(written.contains)
+            .foreach(p => deleteDir(s"$dataPath/part_id=$p"))
+          commit(todo.toArray.map { p =>
+            (runId, stage, p, stats(p)._2, written.getOrElse(p, 0L),
+              started, System.currentTimeMillis(), System.nanoTime(), stats(p)._1)
+          })
+        }
+        spark.read.parquet(dataPath)
 
-    if (newParts == null || newParts.nonEmpty) {
-      todo.write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_id")
-        .parquet(dataPath)
-      val written = spark.read.parquet(dataPath)
-        .filter(!col("part_id").isin(done.toSeq: _*))
-        .groupBy("part_id").count()
-        .as[(Int, Long)].collect()
-      commit(written.map { case (p, n) =>
-        (runId, stage, p, n, started, System.currentTimeMillis(), fingerprint(stage, p))
-      })
+      case None =>
+        val done = completedParts(stage)
+        val df = compute
+        val todo = df.filter(!col("part_id").isin(done.toSeq: _*))
+        val newParts: Array[Int] =
+          if (done.isEmpty) null // unknown yet; derive from written data below
+          else todo.select("part_id").distinct().as[Int].collect()
+        if (newParts == null || newParts.nonEmpty) {
+          val obs = Observation()
+          todo.observe(obs, count(lit(1)).as("rows_out"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_id")
+            .parquet(dataPath)
+          observed(stage) = obs.get("rows_out").asInstanceOf[Long]
+          val written = spark.read.parquet(dataPath)
+            .filter(!col("part_id").isin(done.toSeq: _*))
+            .groupBy("part_id").count()
+            .as[(Int, Long)].collect()
+          commit(written.map { case (p, n) =>
+            (runId, stage, p, -1L, n,
+              started, System.currentTimeMillis(), System.nanoTime(), 0L)
+          })
+        }
+        spark.read.parquet(dataPath)
     }
-    spark.read.parquet(dataPath)
   }
 
-  /** Checkpoint an unpartitioned (global) stage as a single unit. */
-  def runGlobal(stage: String, compute: => DataFrame): DataFrame = {
+  /** Checkpoint an unpartitioned (global) stage as a single unit
+    * (part_id = -1). `inputFpRows` — from [[globalFingerprint]] over the
+    * stage's input — makes the commit input-aware like the partitioned
+    * path; None trusts any existing commit. */
+  def runGlobal(stage: String, compute: => DataFrame,
+                inputFpRows: Option[(Long, Long)] = None): DataFrame = {
     val dataPath = s"$runDir/$stage"
-    if (!completedParts(stage).contains(-1)) {
+    val state = partState(stage)
+    val fp = inputFpRows.map(_._1).getOrElse(0L)
+    val fresh = inputFpRows match {
+      case Some((f, _)) => state.get(-1).contains(f) // input-aware: fp must match
+      case None         => state.contains(-1)        // legacy: any commit counts
+    }
+    if (!fresh) {
       val started = System.currentTimeMillis()
-      val df = compute
-      df.write.mode(SaveMode.Overwrite).parquet(dataPath)
-      val n = spark.read.parquet(dataPath).count()
-      commit(Array((runId, stage, -1, n, started, System.currentTimeMillis(),
-        fingerprint(stage, -1))))
+      val obs = Observation()
+      compute.observe(obs, count(lit(1)).as("rows_out"))
+        .write.mode(SaveMode.Overwrite).parquet(dataPath)
+      val n = obs.get("rows_out").asInstanceOf[Long]
+      observed(stage) = n
+      commit(Array((runId, stage, -1, inputFpRows.map(_._2).getOrElse(-1L), n,
+        started, System.currentTimeMillis(), System.nanoTime(), fp)))
     }
     spark.read.parquet(dataPath)
   }
 
-  private def commit(rows: Array[(String, String, Int, Long, Long, Long, String)]): Unit =
+  private def commit(rows: Array[(String, String, Int, Long, Long, Long, Long, Long, Long)]): Unit =
     if (rows.nonEmpty)
       rows.toSeq
-        .toDF("run_id", "stage", "part_id", "rows_out", "started_ts", "finished_ts", "fingerprint")
+        .toDF("run_id", "stage", "part_id", "rows_in", "rows_out",
+          "started_ts", "finished_ts", "seq", "fingerprint")
         .repartition(1)
         .write.mode(SaveMode.Append).parquet(lineagePath)
-
-  private def fingerprint(stage: String, part: Int): String =
-    graft.core.Text.sha256Hex(s"$runId/$stage/$part")
 
   private def exists(p: String): Boolean = {
     // works for local paths (this sandbox); on HDFS Spark's read guards it
     try Files.exists(Paths.get(p.stripPrefix("file:")))
     catch { case _: Throwable => true }
+  }
+
+  private def deleteDir(p: String): Unit = {
+    val root = Paths.get(p.stripPrefix("file:"))
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
   }
 }

@@ -226,6 +226,51 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.core.Bpe
+
+  test("merge learning on the classic Sennrich word-freq example") {
+    // {low:5, lower:2, newest:6, widest:3}: (e,s) and (s,t</w>) both
+    // score 9; the deterministic lexicographic tie-break picks (e,s)
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val m = Bpe.train(wf, 4)
+    assert(m.merges.head == ("e", "s"))
+    assert(m.merges(1) == ("es", "t</w>")) // now the unique max (9)
+    // after enough merges, the most frequent word's stem contracts
+    val m10 = Bpe.train(wf, 10)
+    assert(m10.encodeWord("newest").length < "newest".length)
+    // encode is a partition of the word: concatenated tokens == word + </w>
+    for (w <- Seq("newest", "lowest", "wider", "low"))
+      assert(m10.encodeWord(w).mkString == w + Bpe.Eow)
+  }
+
+  test("zero merges degrade to characters; unseen chars stay singletons") {
+    val m = Bpe.Model(Vector.empty)
+    assert(m.encodeWord("abc") == Vector("a", "b", "c" + Bpe.Eow))
+    assert(m.encodeWord("") == Vector.empty)
+  }
+
+  test("distributed memoized counts equal direct driver-side encode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.operators.TextAnalysis.trainBpe(docs, numMerges = 50)
+    assert(model.merges.size == 50)
+    val got = graft.operators.TextAnalysis.bpeTokens(docs, model)
+      .as[(Long, Int)].collect().toMap
+    val direct = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) =>
+        id -> graft.core.TextStats.words(t).map(model.tokenCount).sum
+      }.toMap
+    assert(got == direct)
+    // BPE with merges never exceeds the char count and is >= word count
+    val words = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> graft.core.TextStats.words(t) }.toMap
+    assert(got.forall { case (id, n) =>
+      n >= words(id).length && n <= words(id).map(_.length).sum })
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._

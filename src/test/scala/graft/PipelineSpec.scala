@@ -149,6 +149,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_kg_eval (A19 as a query) equals the inline P/R computation") {
+    val row = SparkEntry.queries("q_kg_eval")(spark, sfDir).head()
+    val got = out.triples.select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().toSet
+    val gold = oracleResult.triples
+    val tp = got.intersect(gold).size.toLong
+    assert(row.getLong(0) == tp, "tp mismatch")
+    assert(row.getLong(1) == got.size - tp, "fp mismatch")
+    assert(row.getLong(2) == gold.size - tp, "fn mismatch")
+    assert(row.getDouble(3) >= 0.95 && row.getDouble(4) >= 0.95,
+      s"P/R gate: ${row.getDouble(3)}/${row.getDouble(4)}")
+  }
+
+  test("distributed linking path (localThreshold=0) emits identical triples") {
+    val a = out.triples.as[(String, String, String)].collect().toSet
+    val b = SparkEntry.queries("q_kg_triples_dist")(spark, sfDir)
+      .as[(String, String, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("determinism: two runs produce identical triple sets") {
     val a = out.triples.as[(String, String, String)].collect().toSet
     val b = Pipeline.runOnTestdata(spark, sfDir).triples

@@ -71,4 +71,43 @@ class ResumeSpec extends AnyFunSuite {
       .as[(Int, Long)].collect().toMap
     assert(per == Map(0 -> 250L, 1 -> 250L, 2 -> 250L, 3 -> 250L))
   }
+
+  test("input fingerprint: mutated input partition recomputes exactly that partition") {
+    val dir = Files.createTempDirectory("graft-resume3").toString
+    val lin = new graft.plans.Lineage(spark, dir, "rF")
+    def mkInput(bump: Boolean) = spark.range(0, 400)
+      .select(col("id"), pmod(col("id"), lit(4)).cast("int").as("part_id"))
+      .withColumn("v", when(lit(bump) && col("part_id") === 2,
+        col("id") * 2 + 1000).otherwise(col("id") * 2))
+
+    val in1 = mkInput(false)
+    val out1 = lin.runPartitioned("s", in1.withColumn("v2", col("v") * 10), Some(in1))
+    assert(out1.count() == 400)
+    assert(lin.table.filter(col("stage") === "s").count() == 4)
+    // rows_in per partition came from the fingerprint aggregation
+    val rowsIn = lin.table.filter(col("stage") === "s")
+      .select("part_id", "rows_in").as[(Int, Long)].collect().toMap
+    assert(rowsIn == Map(0 -> 100L, 1 -> 100L, 2 -> 100L, 3 -> 100L))
+    // observe() captured the stage-level rows_out during the write action
+    assert(lin.observedRowsOut("s").contains(400L))
+
+    // identical input → zero new commits (nothing recomputed)
+    val in2 = mkInput(false)
+    lin.runPartitioned("s", in2.withColumn("v2", col("v") * 10), Some(in2))
+    assert(lin.table.filter(col("stage") === "s").count() == 4)
+
+    // mutate ONE input partition → exactly that partition recommits
+    val in3 = mkInput(true)
+    val out3 = lin.runPartitioned("s", in3.withColumn("v2", col("v") * 10), Some(in3))
+    val commits = lin.table.filter(col("stage") === "s")
+      .groupBy("part_id").count().as[(Int, Long)].collect().toMap
+    assert(commits == Map(0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 1L),
+      s"expected only part 2 recomputed; got $commits")
+    assert(lin.observedRowsOut("s").contains(100L)) // only part 2 rewritten
+    // the recomputed partition serves the NEW data
+    val got = out3.filter(col("part_id") === 2).agg(sum("v2")).as[Long].head()
+    val want = in3.filter(col("part_id") === 2)
+      .agg(sum(col("v") * 10)).as[Long].head()
+    assert(got == want)
+  }
 }
