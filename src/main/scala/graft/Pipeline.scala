@@ -33,13 +33,23 @@ object Pipeline {
     *   driver-side (size-adaptive small-graph path); 0 forces the
     *   distributed LSH-join + large/small-star path — the 100×-scale
     *   code path, benched via q_kg_triples_dist. */
+  /** @param cacheRawTriples direct mode only: persist the slim triple
+    *   projection (MEMORY_AND_DISK) so the narrow extract→Viterbi chain
+    *   runs once per action instead of once per consumer. Right when
+    *   the triple stream fits cluster memory+disk; set false at corpus
+    *   scales where even the slim projection would thrash the local
+    *   disks — the two consumers then recompute the narrow chain
+    *   (pure CPU, embarrassingly parallel) instead of spilling.
+    *   Checkpointed mode ignores this: stages materialize to storage,
+    *   which is the 100 TB shape. */
   final case class Config(
       nParts: Int = 32,
       saltMod: Int = 16,
       runId: String = "run-1",
       checkpointDir: Option[String] = None,
       fingerprintInputs: Boolean = true,
-      localThreshold: Long = 1L << 20)
+      localThreshold: Long = 1L << 20,
+      cacheRawTriples: Boolean = true)
 
   final case class Outputs(
       extracted: DataFrame,
@@ -68,9 +78,12 @@ object Pipeline {
         // disk. (Checkpointed mode materializes the full stage to
         // storage instead — the 100 TB shape.)
         val raw = Stages.rawTriples(tagged)
-        val rawSlim = raw.toDF().select("subj", "subj_type", "subj_key",
-            "pred", "obj", "obj_type", "obj_key")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rawSlim0 = raw.toDF().select("subj", "subj_type", "subj_key",
+          "pred", "obj", "obj_type", "obj_key")
+        val rawSlim =
+          if (cfg.cacheRawTriples)
+            rawSlim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else rawSlim0
         val nodes = Linking.nodesFromTripleArgs(rawSlim, cfg.saltMod)
         val canon = Canonicalize.canonMapAdaptive(nodes, cfg.localThreshold)
         val triples = Canonicalize.rewrite(rawSlim, canon)
