@@ -112,12 +112,20 @@ object Linking {
 
   /** LSH self-join on (band index, band key) within the same etype;
     * key_a < key_b deduplicates unordered pairs; exact-Jaccard +
-    * abbreviation-subsequence scoring decides acceptance. */
+    * abbreviation-subsequence scoring decides acceptance.
+    *
+    * Payload discipline (same pattern as Dedup.minhashPairs): the band
+    * self-join carries only (etype, norm_key, band_idx, band_key) —
+    * never the shingle arrays, which would otherwise be duplicated
+    * ×NumBands by the explode and shuffled on both sides. Shingles
+    * derive purely from norm_key (Text.shingles), so the verify step
+    * recomputes them narrowly from the join keys themselves — no
+    * re-join needed at all. */
   def edges(sigs: Dataset[NodeSigRow]): Dataset[EdgeRow] = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val banded = sigs.toDF()
-      .select(col("etype"), col("norm_key"), col("shingles"),
+      .select(col("etype"), col("norm_key"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -127,12 +135,11 @@ object Linking {
         col("a.etype") === col("b.etype") &&
         col("a.norm_key") < col("b.norm_key"))
       .select(col("a.etype").as("etype"),
-        col("a.norm_key").as("key_a"), col("a.shingles").as("sh_a"),
-        col("b.norm_key").as("key_b"), col("b.shingles").as("sh_b"))
+        col("a.norm_key").as("key_a"), col("b.norm_key").as("key_b"))
       .dropDuplicates("etype", "key_a", "key_b")
-      .as[(String, String, Array[String], String, Array[String])]
-    cands.flatMap { case (etype, ka, sa, kb, sb) =>
-      val j = Hashing.jaccard(sa, sb)
+      .as[(String, String, String)]
+    cands.flatMap { case (etype, ka, kb) =>
+      val j = Hashing.jaccard(Text.shingles(ka), Text.shingles(kb))
       val (short, long) = if (ka.length <= kb.length) (ka, kb) else (kb, ka)
       val abbrev = short.nonEmpty && long.nonEmpty &&
         short.charAt(0) == long.charAt(0) && Text.isSubsequence(short, long)
