@@ -27,18 +27,44 @@ object Text {
   }
 
   /** Case-insensitively removes <name ...> ... </name> subtrees.
-    * Unclosed opening tag drops to end of input (deterministic rule). */
+    * Unclosed opening tag drops to end of input (deterministic rule).
+    * Scans with regionMatches(ignoreCase) instead of materializing
+    * s.toLowerCase: extraction is the flagship's hot path, and two
+    * full-page lowercase copies per page were pure allocation/GC
+    * pressure. (Also avoids the index-misalignment a toLowerCase with
+    * length-changing mappings — e.g. U+0130 — would cause, since all
+    * offsets now index the original string.) */
   private[core] def dropElement(s: String, name: String): String = {
-    val lower = s.toLowerCase
     val open = "<" + name
     val close = "</" + name
+    // no-occurrence fast path: most pages contain no <style> (and some
+    // no <script>) — returning the input unchanged avoids a full-page
+    // copy per call on the flagship's hottest function
+    var scan = 0
+    var found = false
+    while (!found && scan < s.length) {
+      if (s.charAt(scan) == '<' &&
+          s.regionMatches(true, scan, open, 0, open.length) &&
+          (scan + open.length == s.length ||
+           !Character.isLetterOrDigit(s.charAt(scan + open.length)))) found = true
+      scan += 1
+    }
+    if (!found) return s
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      if (lower.startsWith(open, i) &&
+      if (s.charAt(i) == '<' &&
+          s.regionMatches(true, i, open, 0, open.length) &&
           (i + open.length == s.length ||
-           !Character.isLetterOrDigit(lower.charAt(i + open.length)))) {
-        val end = lower.indexOf(close, i)
+           !Character.isLetterOrDigit(s.charAt(i + open.length)))) {
+        var end = -1
+        var j = i
+        val last = s.length - close.length
+        while (end < 0 && j <= last) {
+          if (s.charAt(j) == '<' && s.regionMatches(true, j, close, 0, close.length))
+            end = j
+          j += 1
+        }
         i = if (end < 0) s.length
         else {
           val gt = s.indexOf('>', end)
@@ -52,6 +78,7 @@ object Text {
   /** Replaces every <...> run with a single space ('<' without a closing
     * '>' drops the rest of the input — deterministic rule). */
   private[core] def stripTags(s: String): String = {
+    if (s.indexOf('<') < 0) return s // no tags → no copy
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -69,6 +96,7 @@ object Text {
     * digits, valid code point). Single pass — produced '&' is not
     * re-scanned, so no double-decoding. Anything else passes through. */
   private[core] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s // no entities → no copy
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -96,6 +124,17 @@ object Text {
 
   /** Collapse runs of space/tab/CR/LF to one space, then trim. */
   private[core] def collapseWs(s: String): String = {
+    // already-collapsed fast path (single scan, no alloc): no tab/CR/LF,
+    // no double space, no leading/trailing space → return unchanged
+    var clean = s.isEmpty || (s.charAt(0) != ' ' && s.charAt(s.length - 1) != ' ')
+    var k = 0
+    while (clean && k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\t' || c == '\r' || c == '\n' ||
+          (c == ' ' && k + 1 < s.length && s.charAt(k + 1) == ' ')) clean = false
+      k += 1
+    }
+    if (clean) return s
     val sb = new StringBuilder(s.length)
     var i = 0
     var inWs = false
@@ -116,23 +155,22 @@ object Text {
     * delimiter stays with the left sentence; empty sentences dropped.
     * (By A2, '\n' never survives extraction; kept for raw-text callers.) */
   def splitSentences(text: String): Vector[String] = {
+    // substring slices instead of per-char StringBuilder appends (hot
+    // path); `hasContent` tracks the old emit predicate incrementally
     val out = Vector.newBuilder[String]
-    val sb = new StringBuilder
+    var start = 0
+    var hasContent = false
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      sb.append(c)
-      if (c == '。' || c == '！' || c == '？' || c == '；' || c == '\n') {
-        val sent = sb.toString
-        if (sent.exists(ch => !isSplitDelim(ch) && !ch.isWhitespace)) out += sent
-        sb.clear()
-      }
+      if (isSplitDelim(c)) {
+        if (hasContent) out += text.substring(start, i + 1)
+        start = i + 1
+        hasContent = false
+      } else if (!c.isWhitespace) hasContent = true
       i += 1
     }
-    if (sb.nonEmpty) {
-      val sent = sb.toString
-      if (sent.exists(ch => !isSplitDelim(ch) && !ch.isWhitespace)) out += sent
-    }
+    if (hasContent) out += text.substring(start)
     out.result()
   }
 
