@@ -236,6 +236,13 @@ object SparkEntry {
     "q_kg_eval" -> ((s, d) =>
       Evaluation.prVsOracle(s, d, Pipeline.runOnTestdata(s, d).triples)),
 
+    // the reference's own evaluation shape: per-entity-type P/R/F1 on
+    // strict span match vs the oracle's mentions (rows-only; values
+    // asserted >= 0.95 per type in PipelineSpec)
+    "q_kg_eval_types" -> ((s, d) =>
+      Evaluation.mentionPrByType(s, d,
+        Pipeline.runOnTestdata(s, d).mentions.toDF())),
+
     // the 100×-scale code path: distributed MinHash-LSH linking +
     // large/small-star connected components (localThreshold=0 disables
     // the small-graph driver shortcut). Output must equal q_kg_triples

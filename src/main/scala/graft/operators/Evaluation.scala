@@ -28,6 +28,47 @@ object Evaluation {
       .toDF("subj", "pred", "obj")
   }
 
+  /** Per-entity-type mention P/R/F1 — the reference's own evaluation
+    * shape (per-type precision/recall/F1 on its test corpus). One row
+    * per etype, strict span match on (url, sent_idx, begin, end,
+    * etype); gold mentions from the oracle, broadcast; the pipeline
+    * side never collects. */
+  def mentionPrByType(spark: SparkSession, sfDir: String,
+                      mentions: DataFrame): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().toSeq
+    val gold = RefOracle.process(RefOracle.pagesFor(docs)).mentions
+      .map { case (url, si, _, ty, b, e) => (url, si, ty, b, e) }
+      .toDF("url", "sent_idx", "etype", "begin", "end").distinct()
+    val key = Seq("url", "sent_idx", "etype", "begin", "end")
+    // localCheckpoint: pred feeds three aggregations (tp/np and, via
+    // recompute, any later action) — materialize the tag chain once
+    val pred = mentions.select(key.map(col): _*).distinct().localCheckpoint(true)
+    val tp = pred.join(broadcast(gold), key, "left_semi")
+      .groupBy("etype").agg(count(lit(1)).as("tp"))
+    val np = pred.groupBy("etype").agg(count(lit(1)).as("np"))
+    val ng = gold.groupBy("etype").agg(count(lit(1)).as("ng"))
+    val out = np.join(ng, Seq("etype"), "full_outer")
+      .join(tp, Seq("etype"), "left_outer")
+      .select(col("etype"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("np"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("ng"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision",
+        round(when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(col("tp") / (col("tp") + col("fp"))), 4))
+      .withColumn("recall",
+        round(when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(col("tp") / (col("tp") + col("fn"))), 4))
+      .withColumn("f1",
+        round(when(col("precision") + col("recall") === 0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))), 4))
+    out.orderBy("etype")
+  }
+
   /** One-row P/R report for `triples` vs the oracle gold set. */
   def prVsOracle(spark: SparkSession, sfDir: String, triples: DataFrame): DataFrame = {
     import spark.implicits._

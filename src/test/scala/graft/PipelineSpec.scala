@@ -162,6 +162,29 @@ class PipelineSpec extends AnyFunSuite {
       s"P/R gate: ${row.getDouble(3)}/${row.getDouble(4)}")
   }
 
+  test("q_kg_eval_types: per-etype span P/R/F1 vs oracle, all >= 0.95") {
+    val rows = SparkEntry.queries("q_kg_eval_types")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // driver-side mirror of the same strict-span comparison
+    val gold = oracleResult.mentions
+      .map { case (url, si, _, ty, b, e) => (url, si, ty, b, e) }.toSet
+    val pred = out.mentions
+      .select("url", "sent_idx", "etype", "begin", "end")
+      .as[(String, Int, String, Int, Int)].collect().toSet
+    for (ty <- Seq("PER", "ORG", "LOC")) {
+      val g = gold.filter(_._3 == ty)
+      val p = pred.filter(_._3 == ty)
+      val tp = p.intersect(g).size.toLong
+      assert(rows.contains(ty), s"missing etype $ty")
+      val (rtp, rfp, rfn, rp, rr) = rows(ty)
+      assert(rtp == tp && rfp == p.size - tp && rfn == g.size - tp,
+        s"$ty counts mismatch: query=$rtp/$rfp/$rfn driver=$tp/${p.size - tp}/${g.size - tp}")
+      assert(rp >= 0.95 && rr >= 0.95, s"$ty P/R gate: $rp/$rr")
+    }
+  }
+
   test("distributed linking path (localThreshold=0) emits identical triples") {
     val a = out.triples.as[(String, String, String)].collect().toSet
     val b = SparkEntry.queries("q_kg_triples_dist")(spark, sfDir)
