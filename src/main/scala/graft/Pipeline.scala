@@ -32,8 +32,8 @@ object Pipeline {
     * @param localThreshold entity-node count below which linking/CC run
     *   driver-side (size-adaptive small-graph path); 0 forces the
     *   distributed LSH-join + large/small-star path — the 100×-scale
-    *   code path, benched via q_kg_triples_dist. */
-  /** @param cacheRawTriples direct mode only: persist the slim triple
+    *   code path, benched via q_kg_triples_dist.
+    * @param cacheRawTriples direct mode only: persist the slim triple
     *   projection (MEMORY_AND_DISK) so the narrow extract→Viterbi chain
     *   runs once per action instead of once per consumer. Right when
     *   the triple stream fits cluster memory+disk; set false at corpus

@@ -114,25 +114,26 @@ object Scale {
     } finally spark.stop()
   }
 
-  /** Fork one child JVM (own heap + GC — the executor shape). `cpuSet`
-    * pins the child to a disjoint core range via taskset: a cluster
-    * executor owns its cores, so letting the OS scheduler bounce 4
-    * JVMs' worker/GC/JIT threads across all 32 cores would charge the
-    * engine for a contention term no cluster has. The solo (N-side)
-    * child is pinned to the same-sized set for symmetry. */
+  /** Fork one child JVM (own heap + GC — the executor shape). Child
+    * stdout/stderr go to `<outFile>.log` so a crashed child is
+    * diagnosable. `cpuSet` optionally taskset-pins the child to a core
+    * range — measured 35% SLOWER on this box (a child's worker+GC+JIT
+    * threads exceed its core count) and therefore NOT used by the
+    * protocol; the parameter stays as the documented, reproducible
+    * record of that experiment. */
   private def forkChild(pagesPath: String, cores: Int, outFile: String,
                         cpuSet: Option[String]): Process = {
-    val java = s"${sys.props("java.home")}/bin/java"
+    val javaBin = s"${sys.props("java.home")}/bin/java"
     val pin = cpuSet.toSeq.flatMap(s => Seq("taskset", "-c", s))
-    val cmd: Seq[String] = pin ++ Seq(java) ++ jdk17AddOpens ++ Seq(
+    val cmd: Seq[String] = pin ++ Seq(javaBin) ++ jdk17AddOpens ++ Seq(
       "-Xmx6g", "-Xms6g", "-XX:+UseParallelGC",
       s"-XX:ParallelGCThreads=$cores", "-XX:+AlwaysPreTouch",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
       "graft.Scale", "__child", pagesPath, cores.toString, outFile)
     val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectOutput(ProcessBuilder.Redirect.appendTo(new java.io.File(outFile + ".log")))
+    pb.redirectErrorStream(true)
     pb.start()
   }
 
@@ -171,10 +172,26 @@ object Scale {
         // momentarily-idle core is slack a cluster node also has for
         // its own executor's threads)
         val procs = files.map(f => forkChild(path, n, f.toString, None))
-        procs.foreach(_.waitFor())
+        val exits = procs.map(_.waitFor())
         val wall = (System.nanoTime() - t0) / 1e9
+        // fail LOUDLY with the child's log tail instead of emitting a
+        // benchmark JSON built on an empty result file
+        exits.zip(files).foreach { case (rc, f) =>
+          if (rc != 0) {
+            val logPath = Paths.get(f.toString + ".log")
+            val tail = if (Files.exists(logPath)) {
+              val lines = Files.readAllLines(logPath)
+              lines.subList(math.max(0, lines.size - 30), lines.size)
+                .toArray.mkString("\n")
+            } else "(no log)"
+            sys.error(s"scale child exited rc=$rc; log tail:\n$tail")
+          }
+        }
         val secs = files.map(f => Files.readString(f).trim.split(" ")(0).toDouble)
-        files.foreach(Files.deleteIfExists)
+        files.foreach { f =>
+          Files.deleteIfExists(f)
+          Files.deleteIfExists(Paths.get(f.toString + ".log"))
+        }
         (secs.toArray, wall)
       }
 

@@ -56,6 +56,8 @@ object Evaluation {
         coalesce(col("tp"), lit(0L)).as("tp"),
         (coalesce(col("np"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
         (coalesce(col("ng"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      // each metric from the RAW counts, rounded exactly once — deriving
+      // f1 from rounded p/r would compound rounding error
       .withColumn("precision",
         round(when(col("tp") + col("fp") === 0, 0.0)
           .otherwise(col("tp") / (col("tp") + col("fp"))), 4))
@@ -63,9 +65,9 @@ object Evaluation {
         round(when(col("tp") + col("fn") === 0, 0.0)
           .otherwise(col("tp") / (col("tp") + col("fn"))), 4))
       .withColumn("f1",
-        round(when(col("precision") + col("recall") === 0, 0.0)
-          .otherwise(lit(2.0) * col("precision") * col("recall") /
-            (col("precision") + col("recall"))), 4))
+        round(when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, 0.0)
+          .otherwise(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))), 4))
     out.orderBy("etype")
   }
 

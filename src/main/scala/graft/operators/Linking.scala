@@ -9,9 +9,10 @@ import graft.core.{Hashing, Text}
   * surface form and occurrence count. */
 final case class NodeRow(etype: String, norm_key: String, surface: String, cnt: Long)
 
-/** LSH-ready node: MinHash signature + band keys + shingles. */
+/** LSH-ready node: band keys only — shingles derive purely from
+  * norm_key and are recomputed where needed, never carried as payload. */
 final case class NodeSigRow(etype: String, norm_key: String, surface: String,
-                            cnt: Long, shingles: Array[String], bands: Array[Long])
+                            cnt: Long, bands: Array[Long])
 
 /** Accepted linking edge between two entity nodes of the same etype. */
 final case class EdgeRow(etype: String, key_a: String, key_b: String, score: Double)
@@ -106,7 +107,7 @@ object Linking {
     nodes.map { n =>
       val sh = Text.shingles(n.norm_key)
       val mh = Hashing.minhash(sh, NumHashes)
-      NodeSigRow(n.etype, n.norm_key, n.surface, n.cnt, sh, Hashing.bandKeys(mh, NumBands))
+      NodeSigRow(n.etype, n.norm_key, n.surface, n.cnt, Hashing.bandKeys(mh, NumBands))
     }
   }
 

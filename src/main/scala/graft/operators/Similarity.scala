@@ -34,12 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cosine expression over two array<float/double> columns. */
+  /** Exact cosine expression over two array<float/double> columns.
+    * Zero-norm vectors score 0.0 — same convention as the scalar
+    * Dedup.cosine; without the guard, ANSI mode turns the 0/0 into a
+    * job-killing DIVIDE_BY_ZERO the moment one bad embedding appears
+    * in the corpus. */
   def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val na = aggregate(a, lit(0.0d), (acc, x) => acc + x * x)
     val nb = aggregate(b, lit(0.0d), (acc, x) => acc + x * x)
-    dot / sqrt(na * nb)
+    when(na === 0.0d || nb === 0.0d, lit(0.0d)).otherwise(dot / sqrt(na * nb))
   }
 
   /** Narrow scored stream for the brute-force path: corpus × broadcast
@@ -63,20 +67,27 @@ object Similarity {
     scored.select(col("query_id"), col("vec_id"), col("cos"))
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
-        // max-heap with the WORST candidate on top: lowest cos, then
-        // highest vec_id — the same total order the final window uses
-        val worstFirst =
-          Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }
+        // max-heap with the WORST candidate on top. The comparator is
+        // the TOTAL order the final window uses — java Double.compare
+        // ranks NaN greatest, exactly Spark's sort semantics — and the
+        // same comparator drives eviction: a raw `c > wc` would never
+        // evict a NaN head (all NaN comparisons are false), silently
+        // dropping genuine candidates when a zero-norm vector yields a
+        // NaN cosine.
+        val worstFirst = new Ordering[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) -c // lower cos = worse = greater (heap head)
+            else java.lang.Long.compare(a._2, b._2) // higher id = worse
+          }
+        }
         val heaps = scala.collection.mutable.LongMap
           .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
         it.foreach { case (q, id, c) =>
           val h = heaps.getOrElseUpdate(q,
             scala.collection.mutable.PriorityQueue.empty(worstFirst))
           if (h.size < k) h.enqueue((c, id))
-          else {
-            val (wc, wid) = h.head
-            if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)) }
-          }
+          else if (worstFirst.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
         }
         heaps.iterator.flatMap { case (q, h) =>
           h.iterator.map { case (c, id) => (q, id, c) }

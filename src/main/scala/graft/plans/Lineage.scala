@@ -45,6 +45,20 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
 
   private val lineagePath = s"$runDir/_lineage"
   private val observed = scala.collection.mutable.Map.empty[String, Long]
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Commit sequence comparable ACROSS JVM restarts/hosts (nanoTime is
+    * not — it resets on reboot, which would let a stale commit outrank
+    * a newer one): wall-clock millis shifted left 20 bits plus an
+    * in-process counter for uniqueness within one millisecond. */
+  private def nextSeq(): Long =
+    (System.currentTimeMillis() << 20) | (seqCounter.getAndIncrement() & 0xFFFFFL)
+
+  /** Tombstone commit marking a partition whose input disappeared; the
+    * rows_in sentinel -2 never occurs in real commits (which carry
+    * >= 0, or -1 for the legacy no-input path). */
+  private val TombstoneFp = Long.MinValue
+  private val TombstoneRows = -2L
 
   def table: DataFrame =
     if (exists(lineagePath)) spark.read.parquet(lineagePath)
@@ -58,17 +72,23 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
     else table.filter(col("run_id") === runId && col("stage") === stage)
       .select("part_id").distinct().as[Int].collect().toSet
 
-  /** Latest committed input fingerprint per partition (latest by commit
-    * sequence — a recomputed partition's new record wins). */
-  def partState(stage: String): Map[Int, Long] =
+  /** Latest committed (input fingerprint, rows_in) per partition
+    * (latest by commit sequence — a recomputed partition's new record
+    * wins). rows_in participates in the staleness check because the
+    * bit_xor fingerprint alone is blind to even-multiplicity changes
+    * (two identical rows XOR-cancel); the pair catches any change that
+    * alters the row count. A tombstone record (see runPartitioned)
+    * marks a partition whose input disappeared. */
+  def partState(stage: String): Map[Int, (Long, Long)] =
     if (!exists(lineagePath)) Map.empty
     else {
       val w = Window.partitionBy("part_id").orderBy(col("seq").desc)
       table.filter(col("run_id") === runId && col("stage") === stage)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
-        .select(col("part_id"), col("fingerprint"))
-        .as[(Int, Long)].collect().toMap
+        .select(col("part_id"), col("fingerprint"), col("rows_in"))
+        .as[(Int, Long, Long)].collect()
+        .map { case (p, fp, n) => p -> (fp, n) }.toMap
     }
 
   /** One aggregation pass over a part_id-carrying input: per partition,
@@ -103,7 +123,20 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
       case Some(in) =>
         val stats = inputStats(in)
         val state = partState(stage)
-        val todo = stats.keys.filter(p => !state.get(p).contains(stats(p)._1)).toSeq.sorted
+        // staleness = fingerprint OR row count changed (see partState)
+        val todo = stats.keys.filter(p => !state.get(p).contains(stats(p))).toSeq.sorted
+        // a committed partition whose INPUT partition disappeared must
+        // not keep serving stale rows: drop its data and tombstone its
+        // commit so a reappearing input always recomputes
+        val orphaned = state.keys.filterNot(p => stats.contains(p) ||
+          state(p) == ((TombstoneFp, TombstoneRows))).toSeq.sorted
+        if (orphaned.nonEmpty) {
+          orphaned.foreach(p => deleteDir(s"$dataPath/part_id=$p"))
+          commit(orphaned.toArray.map { p =>
+            (runId, stage, p, TombstoneRows, 0L,
+              started, System.currentTimeMillis(), nextSeq(), TombstoneFp)
+          })
+        }
         if (todo.nonEmpty) {
           val obs = Observation()
           compute.filter(col("part_id").isin(todo: _*))
@@ -123,7 +156,7 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
             .foreach(p => deleteDir(s"$dataPath/part_id=$p"))
           commit(todo.toArray.map { p =>
             (runId, stage, p, stats(p)._2, written.getOrElse(p, 0L),
-              started, System.currentTimeMillis(), System.nanoTime(), stats(p)._1)
+              started, System.currentTimeMillis(), nextSeq(), stats(p)._1)
           })
         }
         spark.read.parquet(dataPath)
@@ -149,7 +182,7 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
             .as[(Int, Long)].collect()
           commit(written.map { case (p, n) =>
             (runId, stage, p, -1L, n,
-              started, System.currentTimeMillis(), System.nanoTime(), 0L)
+              started, System.currentTimeMillis(), nextSeq(), 0L)
           })
         }
         spark.read.parquet(dataPath)
@@ -166,8 +199,8 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
     val state = partState(stage)
     val fp = inputFpRows.map(_._1).getOrElse(0L)
     val fresh = inputFpRows match {
-      case Some((f, _)) => state.get(-1).contains(f) // input-aware: fp must match
-      case None         => state.contains(-1)        // legacy: any commit counts
+      case Some(fpRows) => state.get(-1).contains(fpRows) // (fp, rows) must match
+      case None         => state.contains(-1)             // legacy: any commit counts
     }
     if (!fresh) {
       val started = System.currentTimeMillis()
@@ -177,7 +210,7 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
       val n = obs.get("rows_out").asInstanceOf[Long]
       observed(stage) = n
       commit(Array((runId, stage, -1, inputFpRows.map(_._2).getOrElse(-1L), n,
-        started, System.currentTimeMillis(), System.nanoTime(), fp)))
+        started, System.currentTimeMillis(), nextSeq(), fp)))
     }
     spark.read.parquet(dataPath)
   }

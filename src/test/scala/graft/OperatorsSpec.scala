@@ -171,6 +171,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(heaped == windowed)
   }
 
+  test("zero-norm vector: cosine is 0.0 (not ANSI crash); heap == window") {
+    // without cosineCol's guard, ANSI mode turns the 0/0 into a
+    // job-killing DIVIDE_BY_ZERO; with it, zero vectors score 0.0
+    // (scalar Dedup.cosine convention) and both top-k paths agree
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val poisoned = emb.select(col("vec_id"), col("embedding")).unionByName(
+      Seq((999999L, Array.fill(dims)(0.0))).toDF("vec_id", "embedding"))
+    val scored = Similarity.bruteScored(poisoned, 0L until 5L)
+    assert(scored.filter(col("vec_id") === 999999L)
+      .select("cos").as[Double].collect().forall(_ == 0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val windowed = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val heaped = Similarity.topK(scored, 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(heaped == windowed)
+  }
+
   test("auto planes bound bucket occupancy; recall measured at two corpus sizes") {
     assert(Similarity.autoPlanes(1L << 12) == 4) // floor
     assert(Similarity.autoPlanes(1L << 20) == 8)

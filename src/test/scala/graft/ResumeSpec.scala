@@ -110,4 +110,29 @@ class ResumeSpec extends AnyFunSuite {
       .agg(sum(col("v") * 10)).as[Long].head()
     assert(got == want)
   }
+
+  test("input partition disappears: its output is dropped, not served stale") {
+    val dir = Files.createTempDirectory("graft-resume4").toString
+    val lin = new graft.plans.Lineage(spark, dir, "rO")
+    def input(parts: Seq[Int]) = spark.range(0, 400)
+      .select(col("id"), pmod(col("id"), lit(4)).cast("int").as("part_id"))
+      .filter(col("part_id").isin(parts: _*))
+
+    val full = input(Seq(0, 1, 2, 3))
+    assert(lin.runPartitioned("s", full.withColumn("y", col("id") + 1), Some(full))
+      .count() == 400)
+
+    // partition 3's input disappears entirely → resume must stop
+    // serving its 100 stale output rows
+    val shrunk = input(Seq(0, 1, 2))
+    val out = lin.runPartitioned("s", shrunk.withColumn("y", col("id") + 1), Some(shrunk))
+    assert(out.count() == 300, "stale rows of the removed input partition survived")
+    assert(out.filter(col("part_id") === 3).count() == 0)
+
+    // and if the input partition REAPPEARS, it recomputes (tombstone
+    // does not match any real fingerprint)
+    val back = lin.runPartitioned("s", full.withColumn("y", col("id") + 1), Some(full))
+    assert(back.count() == 400)
+    assert(back.filter(col("part_id") === 3).count() == 100)
+  }
 }
