@@ -208,6 +208,19 @@ object SparkEntry {
           dsum(col("value")).as("sum_value"))
         .orderBy("hour_ts", "event_type")),
 
+    // A14 as a directly-oracled query: the DISTRIBUTED large-star/
+    // small-star connected-components path (localThreshold=0 — the
+    // 100×-scale code path) over a bipartite order–part co-purchase
+    // graph, compared value-for-value against a DuckDB recursive-CTE
+    // transitive-closure oracle
+    "q_cc_components" -> ((s, d) => {
+      val e = t(s, d, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey").cast("long").as("src"),
+          (lit(2000000000L) + col("l_partkey")).cast("long").as("dst"))
+      ConnectedComponents.run(e, localThreshold = 0)
+        .orderBy("id")
+    }),
+
     // ---- approximate distinct (HLL; no DuckDB oracle — different sketch) ----
     "q_approx_distinct" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type")
@@ -525,6 +538,22 @@ object SparkEntry {
       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       |WHERE n / (sa.sz + sb.sz - n) >= 0.5
       |ORDER BY a, b""".stripMargin),
+
+    // transitive closure via recursive CTE, then comp = min reachable id
+    // — the declarative mirror of large-star/small-star's fixpoint
+    "q_cc_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT l_orderkey AS a, 2000000000 + l_partkey AS b FROM lineitem
+        |  WHERE l_orderkey < 200
+        |),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach AS (
+        |  SELECT a AS src, b AS dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        |)
+        |SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+        |GROUP BY src ORDER BY id""".stripMargin,
 
     "q_dedup_embed" -> embDedupSql,
     // the LSH-bucketed variant verifies candidates with the exact cosine
