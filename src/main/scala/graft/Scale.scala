@@ -195,23 +195,44 @@ object Scale {
         (secs.toArray, wall)
       }
 
-      // alternate 1-JVM and 4-JVM passes (fresh JVMs each pass → both
-      // sides equally JIT-cold; min per side over rounds kills outliers)
-      var t1 = Double.MaxValue
-      var t4 = Double.MaxValue
+      // Alternate 1-JVM and 4-JVM passes (fresh JVMs each pass → both
+      // sides equally JIT-cold). GRADED STATISTIC (round-3 protocol,
+      // pre-registered in BENCH.md before the run): the MEDIAN of
+      // per-round efficiencies t1_r / max(t4_r). Pairing each 1-JVM
+      // pass with its adjacent 4-JVM pass cancels slow box drift
+      // (thermal / page-cache state changes on a scale of hours, not
+      // the ~6 min of one round), and the median over ≥3 rounds
+      // absorbs the known first-burst outlier without cherry-picking
+      // the way min-of-rounds can. Min-based numbers stay in the JSON
+      // as the round-2-comparable secondary.
+      val roundsBuf = collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
       for (round <- 1 to trials) {
         val (s1, w1) = pass(1)
         System.err.println(f"[scale] round=$round 1-jvm: child=${s1.head}%.1fs wall=$w1%.1fs")
         val (s4, w4) = pass(4)
         System.err.println(f"[scale] round=$round 4-jvm: children=${s4.map(x => f"$x%.1f").mkString(",")}s wall=$w4%.1fs")
-        t1 = math.min(t1, s1.head)
-        t4 = math.min(t4, s4.max) // slowest child bounds the aggregate
+        roundsBuf += ((s1.head, s4))
       }
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val perRound = roundsBuf.map { case (t1r, s4) => (t1r, s4.max, t1r / s4.max) }
+      perRound.zipWithIndex.foreach { case ((a, b, e), i) =>
+        System.err.println(f"[scale] round=${i + 1} t1=$a%.1fs t4max=$b%.1fs eff=$e%.3f")
+      }
+      val eff = median(perRound.map(_._3).toSeq)
+      val t1 = median(perRound.map(_._1).toSeq)
+      val t4 = median(perRound.map(_._2).toSeq)
+      val t1min = perRound.map(_._1).min
+      val t4min = perRound.map(_._2).min
       val spark0 = newSession(0, 2)
       val pages = try spark0.read.parquet(path).count() finally spark0.stop()
-      val eff = t1 / t4
+      val effRounds = perRound.map { case (_, _, e) => f"$e%.3f" }.mkString("[", ",", "]")
+      val t1Rounds = perRound.map { case (a, _, _) => f"$a%.2f" }.mkString("[", ",", "]")
+      val t4Rounds = perRound.map { case (_, b, _) => f"$b%.2f" }.mkString("[", ",", "]")
       println(
-        s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","mode":"multijvm","units_n":1,"units_4n":4,"cores_per_unit":$n,"sec_n":${f"$t1%.2f"},"sec_4n":${f"$t4%.2f"},"pages":$pages,"docs_per_sec_n":${f"${pages / t1}%.0f"},"docs_per_sec_4n":${f"${4 * pages / t4}%.0f"},"pages_path":"$path"}""")
+        s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","statistic":"median_of_round_ratios","mode":"multijvm","units_n":1,"units_4n":4,"cores_per_unit":$n,"rounds":$trials,"sec_n":${f"$t1%.2f"},"sec_4n":${f"$t4%.2f"},"efficiency_rounds":$effRounds,"sec_n_rounds":$t1Rounds,"sec_4n_rounds":$t4Rounds,"min_based_efficiency":${f"${t1min / t4min}%.3f"},"pages":$pages,"docs_per_sec_n":${f"${pages / t1}%.0f"},"docs_per_sec_4n":${f"${4 * pages / t4}%.0f"},"pages_path":"$path"}""")
       return
     }
 
