@@ -41,7 +41,12 @@ object Pipeline {
     *   disks — the two consumers then recompute the narrow chain
     *   (pure CPU, embarrassingly parallel) instead of spilling.
     *   Checkpointed mode ignores this: stages materialize to storage,
-    *   which is the 100 TB shape. */
+    *   which is the 100 TB shape.
+    * @param ccReliable durable-checkpoint option for the distributed
+    *   CC loop (parquet write-read every k iterations instead of
+    *   executor-local blocks): survives executor loss on a cluster's
+    *   shared FS. None (default) = localCheckpoint, the single-box
+    *   shape. */
   final case class Config(
       nParts: Int = 32,
       saltMod: Int = 16,
@@ -49,7 +54,8 @@ object Pipeline {
       checkpointDir: Option[String] = None,
       fingerprintInputs: Boolean = true,
       localThreshold: Long = 1L << 20,
-      cacheRawTriples: Boolean = true)
+      cacheRawTriples: Boolean = true,
+      ccReliable: Option[operators.ConnectedComponents.Reliable] = None)
 
   final case class Outputs(
       extracted: DataFrame,
@@ -84,8 +90,8 @@ object Pipeline {
           if (cfg.cacheRawTriples)
             rawSlim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else rawSlim0
-        val nodes = Linking.nodesFromTripleArgs(rawSlim, cfg.saltMod)
-        val canon = Canonicalize.canonMapAdaptive(nodes, cfg.localThreshold)
+        val nodes = Linking.nodesFromTripleArgs(rawSlim)
+        val canon = Canonicalize.canonMapAdaptive(nodes, cfg.localThreshold, cfg.ccReliable)
         val triples = Canonicalize.rewrite(rawSlim, canon)
         Outputs(extracted, tagged, ments, raw, canon, triples)
 
@@ -108,10 +114,10 @@ object Pipeline {
         }, if (cfg.fingerprintInputs) Some(extracted) else None)
         val rawDs = raw.drop("part_id").as[RawTripleRow]
         val ments = Stages.mentions(tagged)
-        val nodes = Linking.nodesFromTriples(rawDs, cfg.saltMod)
+        val nodes = Linking.nodesFromTriples(rawDs)
         val rawFp = if (cfg.fingerprintInputs) Some(lin.globalFingerprint(raw)) else None
         val canon = lin.runGlobal("canon_map",
-          Canonicalize.canonMapAdaptive(nodes, cfg.localThreshold), rawFp)
+          Canonicalize.canonMapAdaptive(nodes, cfg.localThreshold, cfg.ccReliable), rawFp)
         // triples depend on BOTH raw and canon: combine the fingerprints
         val canonFp = if (cfg.fingerprintInputs) Some(lin.globalFingerprint(canon)) else None
         val triplesFp = for { a <- rawFp; b <- canonFp } yield (a._1 ^ b._1, a._2 + b._2)

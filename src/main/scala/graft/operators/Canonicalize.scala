@@ -28,11 +28,12 @@ object Canonicalize {
     * same pure functions locally; above the threshold run the
     * distributed plan. LinkingSpec asserts both paths agree. */
   def canonMapAdaptive(nodes: Dataset[NodeRow],
-                       localThreshold: Long = 1L << 20): DataFrame = {
+                       localThreshold: Long = 1L << 20,
+                       reliable: Option[ConnectedComponents.Reliable] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     if (localThreshold <= 0)
-      return canonMap(nodes, Linking.edges(Linking.signatures(nodes)))
+      return canonMap(nodes, Linking.edges(Linking.signatures(nodes)), reliable)
     nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (nodes.count() <= localThreshold) {
       val out = canonMapLocal(spark, nodes.collect())
@@ -42,10 +43,15 @@ object Canonicalize {
       // the distributed plan is LAZY — unpersisting before it executes
       // would drop the cache unused and recompute the node build for
       // signatures/edges AND canonMap. localCheckpoint materializes from
-      // the still-warm cache; downstream reads the checkpoint.
+      // the still-warm cache; downstream reads the checkpoint. Fault
+      // tolerance: localCheckpoint blocks die with their executor, so
+      // this pin trades durability for speed and relies on job-level
+      // retry; the node table is cheap to rebuild (one aggregation over
+      // raw triples), unlike the CC loop's iterations — which is why the
+      // durable seam (`reliable`) covers the loop, not this pin.
       val chk = nodes.localCheckpoint(true)
       nodes.unpersist()
-      canonMap(chk, Linking.edges(Linking.signatures(chk)))
+      canonMap(chk, Linking.edges(Linking.signatures(chk)), reliable)
     }
   }
 
@@ -121,7 +127,8 @@ object Canonicalize {
   }
 
   /** (etype, norm_key) → canonical surface, for every node. */
-  def canonMap(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow]): DataFrame = {
+  def canonMap(nodes: Dataset[NodeRow], edges: Dataset[EdgeRow],
+               reliable: Option[ConnectedComponents.Reliable] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
 
@@ -132,7 +139,7 @@ object Canonicalize {
         Hashing.nodeId(e.etype, e.key_b)))
       .toDF("src", "dst")
 
-    val assign = ConnectedComponents.run(idEdges) // (id, comp)
+    val assign = ConnectedComponents.run(idEdges, reliable = reliable) // (id, comp)
     val withComp = idNodes.join(assign, Seq("id"), "left_outer")
       .withColumn("comp", coalesce(col("comp"), col("id")))
 

@@ -23,6 +23,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Reliable-checkpoint option for the iterative loop. localCheckpoint
+    * (the default) stores blocks on executors only — fastest on a
+    * single box, but on a real cluster a lost executor mid-loop kills
+    * the job (no lineage survives to recompute from). With `Reliable`,
+    * every `every`-th iteration (and the initial edge set) instead
+    * writes parquet under `dir` and reads it back — durable on the
+    * cluster's shared FS (HDFS/S3), so a failed loop restarts from the
+    * last written iteration having lost at most `every - 1` rounds.
+    * Use localCheckpoint for single-box / short loops where job-level
+    * retry is acceptable; Reliable for long loops on clusters. Earlier
+    * iteration dirs are deleted as the loop advances; the LAST dir
+    * backs the returned (lazy) DataFrame, so `dir` must outlive
+    * consumption of the result. */
+  final case class Reliable(dir: String, every: Int = 3)
+
   /** edges: DataFrame(src: long, dst: long), undirected (either order,
     * duplicates fine). Returns DataFrame(id: long, comp: long) covering
     * every endpoint; comp = min node id of the component.
@@ -36,7 +51,8 @@ object ConnectedComponents {
     * identical output (CcSpec asserts it); set localThreshold = 0 to
     * force the distributed path. */
   def run(edges: DataFrame, maxIter: Int = 25,
-          localThreshold: Long = 1L << 20): DataFrame = {
+          localThreshold: Long = 1L << 20,
+          reliable: Option[Reliable] = None): DataFrame = {
     val spark = edges.sparkSession
 
     // canonical undirected form (u > v), self-loops dropped
@@ -47,7 +63,7 @@ object ConnectedComponents {
       .distinct()
 
     if (localThreshold <= 0)
-      return runDistributed(canonical.localCheckpoint(true), maxIter)
+      return runDistributed(pin(canonical, 0, reliable), maxIter, reliable)
 
     // persist before the size probe so the (possibly expensive)
     // upstream edge generation runs once, not once for the count and
@@ -58,13 +74,49 @@ object ConnectedComponents {
       canonical.unpersist()
       out
     } else {
-      val e0 = canonical.localCheckpoint(true)
+      val e0 = pin(canonical, 0, reliable)
       canonical.unpersist()
-      runDistributed(e0, maxIter)
+      runDistributed(e0, maxIter, reliable)
     }
   }
 
-  private def runDistributed(first: DataFrame, maxIter: Int): DataFrame = {
+  /** Materialize an iteration's edge set and truncate its lineage:
+    * parquet write-read on reliable iterations, localCheckpoint
+    * otherwise. Both bound the growing Catalyst plan; only the former
+    * survives executor loss. */
+  private def pin(df: DataFrame, iter: Int, reliable: Option[Reliable]): DataFrame =
+    reliable match {
+      case Some(r) if iter % math.max(1, r.every) == 0 =>
+        val path = s"${r.dir}/cc-iter-$iter"
+        df.write.mode("overwrite").parquet(path)
+        val out = df.sparkSession.read.parquet(path)
+        // earlier iterations are superseded; keep only the newest dir
+        deleteDirsBefore(r.dir, iter)
+        out
+      case _ => df.localCheckpoint(true)
+    }
+
+  /** Local-FS cleanup of superseded iteration dirs (the sandbox shape;
+    * a cluster deployment swaps this one call for Hadoop
+    * FileSystem.delete — the write-read pinning above already goes
+    * through Spark and works on HDFS/S3 unchanged). */
+  private def deleteDirsBefore(dir: String, iter: Int): Unit = {
+    val root = java.nio.file.Paths.get(dir.stripPrefix("file:"))
+    if (java.nio.file.Files.isDirectory(root)) {
+      java.nio.file.Files.list(root).forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("cc-iter-") &&
+            name.stripPrefix("cc-iter-").toIntOption.exists(_ < iter)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    }
+  }
+
+  private def runDistributed(first: DataFrame, maxIter: Int,
+                             reliable: Option[Reliable] = None): DataFrame = {
     var e = first
 
     var fp = fingerprint(e)
@@ -73,7 +125,7 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       val ls = largeStar(e)
       val ss = smallStar(ls)
-      val next = ss.localCheckpoint(true)
+      val next = pin(ss, iter + 1, reliable)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

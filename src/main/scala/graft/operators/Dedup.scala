@@ -185,23 +185,30 @@ object Dedup {
       .toDF("a", "b", "cos")
   }
 
-  /** Sign-bit bucket id from `planes` deterministic hyperplanes whose
-    * coefficients are splitmix64-derived from (plane, dim) — identical
-    * on every executor with zero driver state. */
+  /** Signed projection of `v` onto deterministic pseudo-hyperplane `p`
+    * (coefficients splitmix64-derived from (plane, dim) — identical on
+    * every executor with zero driver state). The |value| is the margin
+    * to the plane boundary, which orders multi-probe LSH probes
+    * (Similarity.lshTopK). */
+  def planeDot(v: Array[Double], p: Int): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < v.length) {
+      // map hash to [-1, 1)
+      val coef = Hashing.splitmix64(p.toLong * 131071L + i) / 9.223372036854776e18
+      dot += coef * v(i)
+      i += 1
+    }
+    dot
+  }
+
+  /** Sign-bit bucket id from `planes` deterministic hyperplanes. */
   def signBucket(v: Array[Double], planes: Int): Long = {
     if (planes <= 0) return 0L
     var bucket = 0L
     var p = 0
     while (p < planes) {
-      var dot = 0.0
-      var i = 0
-      while (i < v.length) {
-        // map hash to [-1, 1)
-        val coef = Hashing.splitmix64(p.toLong * 131071L + i) / 9.223372036854776e18
-        dot += coef * v(i)
-        i += 1
-      }
-      if (dot >= 0) bucket |= (1L << p)
+      if (planeDot(v, p) >= 0) bucket |= (1L << p)
       p += 1
     }
     bucket

@@ -66,18 +66,28 @@ object Linking {
     * the rewrite — and it lets the flagship plan derive the expensive
     * tagged stage ONCE (raw triples feed both linking and rewrite; the
     * mentions branch would force a second pass over the corpus). */
-  def nodesFromTriples(raw: Dataset[RawTripleRow], saltMod: Int = 16): Dataset[NodeRow] =
-    nodesFromTripleArgs(raw.toDF(), saltMod)
+  def nodesFromTriples(raw: Dataset[RawTripleRow]): Dataset[NodeRow] =
+    nodesFromTripleArgs(raw.toDF())
 
   /** Same as [[nodesFromTriples]] but over the slim 7-column projection
-    * the pipeline persists (no url/sent_idx). The salt must be a TRUE
-    * per-row spreader: hashing the triple's values would send every
-    * duplicate of one hot triple — exactly the skew case the salt
-    * guards against — to a single salt bucket. monotonically_increasing_id
-    * varies per physical row; it is not stable across retries, but the
-    * salt only shapes the partial aggregation — the second groupBy
-    * re-combines, so the final result is retry-independent. */
-  def nodesFromTripleArgs(raw: DataFrame, saltMod: Int = 16): Dataset[NodeRow] = {
+    * the pipeline persists (no url/sent_idx).
+    *
+    * No explicit salt here, deliberately (round-3 change): for a
+    * count aggregation, Catalyst's map-side partial HashAggregate
+    * already collapses a hot duplicate triple to ONE row per map
+    * partition before the shuffle — exactly what a salt stage would
+    * buy — so a single deterministic groupBy is both the fastest and
+    * the only retry-safe plan. The previous per-row
+    * monotonically_increasing_id salt was a nondeterministic
+    * expression feeding a shuffle key: on stage retry after a fetch
+    * failure, recomputed map tasks re-salt differently and reducers
+    * holding old shuffle blocks can double-count (the
+    * SPARK-23207-class indeterminate-stage hazard). Explicit salting
+    * remains the right tool where partial aggregation CANNOT absorb
+    * the skew (collect_list-style aggs, per-key heavy compute) — see
+    * [[nodes]], whose salt is derived deterministically from input
+    * columns. */
+  def nodesFromTripleArgs(raw: DataFrame): Dataset[NodeRow] = {
     val spark = raw.sparkSession
     import spark.implicits._
     val args = raw
@@ -86,13 +96,11 @@ object Linking {
       .unionByName(raw
         .select(col("obj_type").as("etype"), col("obj_key").as("norm_key"),
           col("obj").as("mention")))
-    val salted = args
-      .withColumn("salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltMod)))
-      .groupBy("etype", "norm_key", "mention", "salt").count()
-      .groupBy("etype", "norm_key", "mention").agg(sum("count").as("cnt"))
+    val counted = args
+      .groupBy("etype", "norm_key", "mention").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("etype", "norm_key")
       .orderBy(col("cnt").desc, col("mention").asc)
-    salted
+    counted
       .withColumn("rk", row_number().over(w))
       .withColumn("node_cnt", sum("cnt").over(Window.partitionBy("etype", "norm_key")))
       .filter(col("rk") === 1)

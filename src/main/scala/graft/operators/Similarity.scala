@@ -133,14 +133,28 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: sign-bucket both sides, multi-probe the query
-    * side (bit-flip probes), exact cosine inside candidate buckets,
-    * two-level exact top-k on the bucket-limited candidates.
-    * `planes <= 0` → autoPlanes(corpus size). */
+    * side, exact cosine inside candidate buckets, two-level exact top-k
+    * on the bucket-limited candidates.
+    *
+    * Probe order (standard multi-probe LSH, Lv et al. VLDB 2007): the
+    * buckets most likely to hold missed neighbors are those across the
+    * planes the query was CLOSEST to — smallest |planeDot|. Probes flip
+    * those planes first, in increasing-margin order; `marginProbes =
+    * false` falls back to the round-2 unconditional low-bit flips
+    * (kept so SimilaritySpec can measure the recall gain at a fixed
+    * probe budget).
+    *
+    * `planes <= 0` → autoPlanes over `corpusSize` if the caller knows
+    * it (repeated calls over one cached corpus shouldn't each pay a
+    * full count pass), else over one `emb.count()`. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              planes: Int = 0, probes: Int = 4): DataFrame = {
+              planes: Int = 0, probes: Int = 4,
+              corpusSize: Option[Long] = None,
+              marginProbes: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val p = if (planes > 0) planes else autoPlanes(emb.count())
+    val p = if (planes > 0) planes
+            else autoPlanes(corpusSize.getOrElse(emb.count()))
     val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, v) => (id, Dedup.signBucket(v, p), v) }
@@ -149,8 +163,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("bucket").as("qb"), col("v").as("qv"))
       .as[(Long, Long, Array[Double])]
       .flatMap { case (id, b, v) =>
-        // probe the home bucket plus single-bit flips (nearest buckets)
-        (Seq(b) ++ (0 until math.min(probes - 1, p)).map(i => b ^ (1L << i)))
+        // home bucket plus single-plane flips, nearest planes first
+        val nProbes = math.min(probes - 1, p)
+        val flips =
+          if (marginProbes)
+            (0 until p).sortBy(i => math.abs(Dedup.planeDot(v, i))).take(nProbes)
+          else 0 until nProbes
+        (Seq(b) ++ flips.map(i => b ^ (1L << i)))
           .distinct.map(pb => (id, pb, v))
       }
       .toDF("query_id", "bucket", "qv")

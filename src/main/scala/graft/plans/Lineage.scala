@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * rows is exactly the set of trustworthy partitions. Global
   * (unpartitioned) stages use part_id = -1.
   *
-  * Resume safety: `fingerprint` is the bit_xor of xxhash64 over every
-  * column of the partition's INPUT rows (order-independent, one
-  * aggregation pass). On resume the input fingerprint is recomputed and
+  * Resume safety: `fingerprint` is an order-independent combination of
+  * the bit_xor AND a modular sum of xxhash64 over every column of the
+  * partition's INPUT rows (one aggregation pass; the sum term catches
+  * the duplicate-row substitutions that xor alone self-cancels on —
+  * see combineFp). On resume the input fingerprint is recomputed and
   * compared against the latest commit — a partition whose upstream
   * input changed is recomputed instead of silently kept stale. Callers
   * that cannot (or choose not to) pay the extra input scan pass
@@ -91,20 +93,44 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
         .map { case (p, fp, n) => p -> (fp, n) }.toMap
     }
 
+  /** Combine the xor- and sum-based aggregates into one 64-bit
+    * fingerprint. bit_xor alone self-cancels on duplicate rows (a
+    * partition {A,A} → {B,B} swap fingerprints to 0 both times, with
+    * equal counts — undetected staleness for corpora with fully
+    * duplicated pages), so a modular SUM of the row hashes — order-
+    * independent but NOT self-canceling — is mixed in. The sum is
+    * computed as decimal(38,0) over pmod(hash, p) so it can never
+    * overflow (≤ 1e9 · rows ≪ 1e38) regardless of ANSI mode. */
+  private def combineFp(fpXor: Long, fpSum: java.math.BigDecimal): Long =
+    fpXor ^ graft.core.Hashing.splitmix64(
+      fpSum.toBigInteger.mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue())
+
+  private val FpSumMod = 1000000007L
+
   /** One aggregation pass over a part_id-carrying input: per partition,
-    * (order-independent xxhash64 fingerprint, row count). */
+    * (order-independent row-hash fingerprint, row count). */
   def inputStats(in: DataFrame): Map[Int, (Long, Long)] = {
-    val cols = in.columns.filter(_ != "part_id").map(col)
+    val h = xxhash64(in.columns.filter(_ != "part_id").map(col): _*)
     in.groupBy(col("part_id"))
-      .agg(bit_xor(xxhash64(cols: _*)).as("fp"), count(lit(1)).as("n"))
-      .as[(Int, Long, Long)].collect()
-      .map { case (p, fp, n) => p -> (fp, n) }.toMap
+      .agg(bit_xor(h).as("fpx"),
+        sum(pmod(h, lit(FpSumMod)).cast("decimal(38,0)")).as("fps"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val fpx = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val fps = if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2)
+        r.getInt(0) -> (combineFp(fpx, fps), r.getLong(3))
+      }.toMap
   }
 
   /** Whole-table (fingerprint, rows) for global-stage inputs. */
   def globalFingerprint(in: DataFrame): (Long, Long) = {
-    val row = in.agg(bit_xor(xxhash64(in.columns.map(col): _*)), count(lit(1))).head()
-    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+    val h = xxhash64(in.columns.map(col): _*)
+    val row = in.agg(bit_xor(h),
+      sum(pmod(h, lit(FpSumMod)).cast("decimal(38,0)")), count(lit(1))).head()
+    val fpx = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val fps = if (row.isNullAt(1)) java.math.BigDecimal.ZERO else row.getDecimal(1)
+    (combineFp(fpx, fps), row.getLong(2))
   }
 
   /** Stage-level rows_out captured by Dataset.observe during the last
@@ -159,7 +185,12 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
               started, System.currentTimeMillis(), nextSeq(), stats(p)._1)
           })
         }
-        spark.read.parquet(dataPath)
+        // empty-input first run: nothing was ever written (todo empty,
+        // no directory) — return an empty frame with the stage schema
+        // instead of letting the read throw on the missing path
+        if (exists(dataPath)) spark.read.parquet(dataPath)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), compute.schema)
 
       case None =>
         val done = completedParts(stage)

@@ -142,6 +142,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, f"recall $recall%.2f should beat the ~0.25 scan fraction")
   }
 
+  test("margin-ordered multi-probe recall >= bit-flip baseline at fixed probe budget") {
+    // Standard multi-probe LSH (Lv et al. 2007): at a fixed probe
+    // budget, flipping the planes the query was CLOSEST to (smallest
+    // |dot| margin) reaches the buckets most likely to hide true
+    // neighbors. 50 queries stabilize the comparison on this corpus.
+    val qs = 0L until 50L
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(margin: Boolean): Double = {
+      val lsh = Similarity.lshTopK(emb, qs, 5, planes = 4, probes = 4,
+          marginProbes = margin)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.intersect(lsh).size.toDouble / brute.size
+    }
+    val rMargin = recall(margin = true)
+    val rBitflip = recall(margin = false)
+    info(f"recall@5 margin-ordered=$rMargin%.3f bit-flip=$rBitflip%.3f (probes=4, planes=4)")
+    assert(rMargin >= rBitflip,
+      f"margin probing ($rMargin%.3f) must not lose to unconditional bit flips ($rBitflip%.3f)")
+  }
+
   test("cosineCol matches scalar cosine") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
     val got = df.select(Similarity.cosineCol(col("a"), col("b"))).head().getDouble(0)

@@ -48,6 +48,28 @@ class CcSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("reliable-checkpoint mode: identical output, superseded iter dirs cleaned") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rng.nextInt(150).toLong, rng.nextInt(150).toLong))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("cc-reliable").toString
+    val plain = ConnectedComponents.run(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toSet
+    val rel = ConnectedComponents.run(edges, localThreshold = 0,
+        reliable = Some(ConnectedComponents.Reliable(dir, every = 2)))
+      .as[(Long, Long)].collect().toSet
+    assert(rel == plain)
+    // only the newest durable iteration survives on disk
+    val iters = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.contains("cc-iter-"))
+    assert(iters.length == 1, s"expected exactly the last iter dir, got ${iters.toSeq}")
+    iters.foreach { p =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("adversarial star + chain graphs") {
     // hot star: one hub linked to 1000 spokes; plus a 64-node chain
     val star = (1L to 1000L).map(i => (5000L, 5000L + i))

@@ -135,4 +135,30 @@ class ResumeSpec extends AnyFunSuite {
     assert(back.count() == 400)
     assert(back.filter(col("part_id") === 3).count() == 100)
   }
+
+  test("fingerprint catches a count-preserving duplicate-row substitution") {
+    // {A,A} -> {B,B}: row count unchanged and the xor of row hashes
+    // self-cancels to 0 BOTH times — the one staleness class a pure
+    // bit_xor fingerprint is blind to (plausible for corpora with fully
+    // duplicated pages). The modular-sum term must force the recompute.
+    val dir = Files.createTempDirectory("graft-resume5").toString
+    val lin = new graft.plans.Lineage(spark, dir, "rD")
+    def input(v: Long) = Seq((v, 0), (v, 0)).toDF("id", "part_id")
+    val in1 = input(7L)
+    lin.runPartitioned("s", in1.withColumn("y", col("id") * 10), Some(in1))
+    val in2 = input(9L)
+    val out = lin.runPartitioned("s", in2.withColumn("y", col("id") * 10), Some(in2))
+    assert(out.select("y").as[Long].collect().toSeq == Seq(90L, 90L),
+      "stale output served for a duplicate-row substitution")
+    assert(lin.table.filter(col("stage") === "s").count() == 2, "no recommit happened")
+  }
+
+  test("empty input on a first run yields an empty frame, not a missing-path error") {
+    val dir = Files.createTempDirectory("graft-resume6").toString
+    val lin = new graft.plans.Lineage(spark, dir, "rE")
+    val empty = spark.range(0).select(col("id"), lit(0).cast("int").as("part_id"))
+    val out = lin.runPartitioned("s", empty.withColumn("y", col("id")), Some(empty))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "part_id", "y"))
+  }
 }
