@@ -39,10 +39,26 @@ object Bench {
     val flagshipSec = time {
       Pipeline.runOnTestdata(spark, sfDir).triples.count()
     }
+    // flagship through the Lineage checkpoint machinery (A18): a cold
+    // run (every stage materializes + commits, input fingerprints on)
+    // and an immediate resume (all partitions committed and fresh →
+    // the pipeline re-reads materialized stages; the cost measured is
+    // the fingerprint passes + lineage bookkeeping). The lineage
+    // overhead vs the direct flagship is cold - flagship.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
+    def ckptRun(): Long = Pipeline.runOnTestdata(spark, sfDir, 1,
+      Pipeline.Config(checkpointDir = Some(ckptDir.toString))).triples.count()
+    val ckptCold = time(ckptRun())
+    val ckptResume = time(ckptRun())
+    java.nio.file.Files.walk(ckptDir)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> time(fn(spark, sfDir).count())
     }
-    val all = ("kg_flagship" -> flagshipSec) +: results
+    val all = ("kg_flagship" -> flagshipSec) +:
+      ("kg_flagship_ckpt_cold" -> ckptCold) +:
+      ("kg_flagship_ckpt_resume" -> ckptResume) +: results
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum

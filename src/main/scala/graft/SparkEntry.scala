@@ -363,8 +363,10 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
-  // DuckDB oracles. Omitted for hash-based / model-based / sketch-based
-  // queries (driver then records a weaker rows-only check).
+  // DuckDB oracles. Omitted only where DuckDB genuinely cannot express
+  // the computation (KG pipeline = in-repo RefOracle, HLL sketch, BPE
+  // model); the splitmix64-based sketches (simhash, ANN LSH) ARE
+  // expressed, via an exact hugeint emulation of the hash (round 3).
   // ------------------------------------------------------------------
 
   /** Planted-duplicate corpus CTE, the SQL mirror of [[Dedup.planted]]. */
@@ -390,7 +392,150 @@ object SparkEntry {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
       |ORDER BY 1, 2""".stripMargin
 
+  /** DuckDB emulation of graft.core.Hashing.splitmix64 in the UNSIGNED
+    * hugeint domain [0, 2^64): wrapping add/multiply via explicit
+    * `% 2^64` and a 32-bit-split multiply (a*b mod 2^64 = a_lo*b +
+    * ((a_hi*b_lo) mod 2^32)*2^32 — every intermediate < 2^97 fits
+    * HUGEINT), xor/logical-shift on non-negative hugeints (x >>> k =
+    * x // 2^k). Validated bit-identical to the Scala implementation
+    * over the sf0.01 vocabulary (tools/ prototyping, round 3). The
+    * recursive CTE folds splitmix64 over each word's chars exactly as
+    * Hashing.hash64 does (documents are ASCII, so UTF-16 code units =
+    * codepoints); 1301848197030049298 is the precomputed
+    * splitmix64(0x51a7ea5e) seed expansion.
+    *
+    * This makes the previously model-based sketches SQL-reachable: the
+    * q_dedup_simhash oracle recomputes every document's 64-bit SimHash
+    * IN DuckDB and brute-forces all pairs with Hamming <= 3 — the
+    * pigeonhole guarantee (4 x 16-bit bands catch every such pair)
+    * means Spark's banded blocking must equal the brute force
+    * value-for-value. */
+  private val simhashOracleSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text || ' extra trailing sentence padding words'
+      |            FROM documents WHERE doc_id % 5 = 0
+      |),
+      |words AS (
+      |  SELECT doc_id, w AS word
+      |  FROM corpus, unnest(string_split_regex(text, '\s+')) AS t(w) WHERE w <> ''
+      |),
+      |vocab AS (SELECT DISTINCT word FROM words),
+      |r AS (
+      |  SELECT word, 0 AS pos, 1301848197030049298::HUGEINT AS h FROM vocab
+      |  UNION ALL
+      |  SELECT word, pos, h FROM (
+      |      SELECT word, pos0 + 1 AS pos, xor(z3, z3 // 2147483648) AS h FROM (
+      |        SELECT word, pos0, ((z2 % 4294967296) * 10723151780598845931
+      |          + (((z2 // 4294967296) * 321982955) % 4294967296) * 4294967296
+      |          ) % 18446744073709551616 AS z3 FROM (
+      |          SELECT word, pos0, xor(z1, z1 // 134217728) AS z2 FROM (
+      |            SELECT word, pos0, ((y % 4294967296) * 13787848793156543929
+      |              + (((y // 4294967296) * 484763065) % 4294967296) * 4294967296
+      |              ) % 18446744073709551616 AS z1 FROM (
+      |              SELECT word, pos0, xor(x1, x1 // 1073741824) AS y FROM (
+      |                SELECT word, pos0, (xin + 11400714819323198485) % 18446744073709551616 AS x1 FROM (
+      |                  SELECT word, pos AS pos0,
+      |                         xor(h, ord(word[pos + 1])::HUGEINT) AS xin
+      |                  FROM r WHERE pos < length(word)
+      |              ) ) ) ) ) ) )
+      |),
+      |whash AS (SELECT word, h FROM r WHERE pos = length(word)),
+      |wbits AS (
+      |  SELECT word, -1 AS b, h AS rest, 0::HUGEINT AS p2, 0 AS bit FROM whash
+      |  UNION ALL
+      |  SELECT word, b + 1, rest // 2,
+      |         CASE WHEN b < 0 THEN 1::HUGEINT ELSE p2 * 2 END,
+      |         (rest % 2)::INTEGER
+      |  FROM wbits WHERE b < 63
+      |),
+      |bits AS (SELECT word, b, p2, bit FROM wbits WHERE b >= 0),
+      |wcount AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+      |accs AS (
+      |  SELECT doc_id, b, any_value(p2) AS p2,
+      |         sum(CASE WHEN bit = 1 THEN c ELSE -c END) AS acc
+      |  FROM wcount JOIN bits USING (word) GROUP BY 1, 2
+      |),
+      |sim AS (
+      |  SELECT doc_id, CASE WHEN sum(CASE WHEN acc > 0 THEN p2 ELSE 0::HUGEINT END) >= 9223372036854775808 THEN (sum(CASE WHEN acc > 0 THEN p2 ELSE 0::HUGEINT END) - 18446744073709551616)::BIGINT ELSE sum(CASE WHEN acc > 0 THEN p2 ELSE 0::HUGEINT END)::BIGINT END AS simh
+      |  FROM accs GROUP BY 1
+      |)
+      |SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simh, y.simh)) AS hamming
+      |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simh, y.simh)) <= 3
+      |ORDER BY a, b""".stripMargin
+
+  /** Full DuckDB value oracle for q_ann_lsh: recomputes the
+    * random-hyperplane coefficients (same splitmix64 emulation as
+    * [[simhashOracleSql]], signed/9.223372036854776e18 mapping), the
+    * per-plane dots as an ORDERED list_reduce fold (bit-identical to
+    * the Scala loop's left-to-right double accumulation — required
+    * because bucket membership is an UNROUNDED sign decision), the
+    * sign buckets, the margin-ordered multi-probe expansion (smallest
+    * |dot| first, plane index tie-break = Scala's stable sortBy), and
+    * the in-bucket exact-cosine top-5. */
+  private val annLshOracleSql: String =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |coefs AS (
+      |  SELECT p, i,
+      |         (CASE WHEN smout >= 9223372036854775808 THEN (smout - 18446744073709551616)::BIGINT
+      |               ELSE smout::BIGINT END)::DOUBLE / 9.223372036854776e18 AS coef
+      |  FROM (
+      |      SELECT p, i, xor(z3, z3 // 2147483648) AS smout FROM (
+      |        SELECT p, i, ((z2 % 4294967296) * 10723151780598845931
+      |          + (((z2 // 4294967296) * 321982955) % 4294967296) * 4294967296
+      |          ) % 18446744073709551616 AS z3 FROM (
+      |          SELECT p, i, xor(z1, z1 // 134217728) AS z2 FROM (
+      |            SELECT p, i, ((y % 4294967296) * 13787848793156543929
+      |              + (((y // 4294967296) * 484763065) % 4294967296) * 4294967296
+      |              ) % 18446744073709551616 AS z1 FROM (
+      |              SELECT p, i, xor(x1, x1 // 1073741824) AS y FROM (
+      |                SELECT p, i, (x + 11400714819323198485) % 18446744073709551616 AS x1
+      |                FROM (SELECT tp.range AS p, ti.range AS i, (tp.range * 131071 + ti.range)::HUGEINT AS x FROM range(6) tp, range(64) ti)
+      |            ) ) ) ) ) )
+      |),
+      |coefarr AS (SELECT p, list(coef ORDER BY i) AS ca FROM coefs GROUP BY p),
+      |dots AS (
+      |  SELECT b.vec_id, c.p,
+      |         list_reduce(list_transform(range(1, 65), j -> c.ca[j] * b.v[j]),
+      |                     (a, x) -> a + x) AS dot
+      |  FROM base b CROSS JOIN coefarr c
+      |),
+      |buckets AS (
+      |  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+      |  FROM dots GROUP BY 1
+      |),
+      |flips AS (
+      |  SELECT vec_id, p FROM (
+      |    SELECT vec_id, p, row_number() OVER (PARTITION BY vec_id ORDER BY abs(dot), p) AS rk
+      |    FROM dots WHERE vec_id < 10)
+      |  WHERE rk <= 3
+      |),
+      |qprobes AS (
+      |  SELECT vec_id AS query_id, bucket AS pb FROM buckets WHERE vec_id < 10
+      |  UNION
+      |  SELECT f.vec_id, xor(b.bucket, (1::BIGINT << f.p))
+      |  FROM flips f JOIN buckets b USING (vec_id)
+      |),
+      |scored AS (
+      |  SELECT q.query_id, cb.vec_id,
+      |         round(list_cosine_similarity(qe.v, cv.v), 4) AS cos
+      |  FROM qprobes q
+      |  JOIN buckets cb ON cb.bucket = q.pb AND cb.vec_id <> q.query_id
+      |  JOIN base qe ON qe.vec_id = q.query_id
+      |  JOIN base cv ON cv.vec_id = cb.vec_id
+      |),
+      |ranked AS (
+      |  SELECT query_id, vec_id AS neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash" -> simhashOracleSql,
+    "q_ann_lsh" -> annLshOracleSql,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
