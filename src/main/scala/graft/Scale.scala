@@ -104,8 +104,13 @@ object Scale {
     try {
       import spark.implicits._
       val cfg = Pipeline.Config(nParts = spark.sparkContext.defaultParallelism * 2)
+      // warm-up size is corpus-relative (a fixed row count would be the
+      // WHOLE corpus for heavy-page inputs with fewer, larger rows);
+      // the count is metadata-only on parquet
+      val nRows = spark.read.parquet(pagesPath).count()
       val warm = spark.read.parquet(pagesPath)
-        .limit(512000).as[graft.sources.PageRow]
+        .limit(math.max(1L, nRows / 10).min(Int.MaxValue.toLong).toInt)
+        .as[graft.sources.PageRow]
       Pipeline.run(spark, warm, cfg).triples.count()
       val t0 = System.nanoTime()
       val (p, t) = flagship(spark, "", 1, 1, Some(pagesPath))

@@ -684,6 +684,36 @@ object SparkEntry {
       |WHERE n / (sa.sz + sb.sz - n) >= 0.5
       |ORDER BY a, b""".stripMargin),
 
+    // MinHash-LSH output is pairs that (i) share a band bucket and
+    // (ii) pass exact-Jaccard >= 0.5. On this fixed corpus the banded
+    // candidate set provably loses nothing: a full in-SQL minhash
+    // recompute (32 splitmix64 lanes folded per char, banding, bucket
+    // join — prototyped round 3) matches the exact all-pairs Jaccard
+    // set 238/238 pair-for-pair, value-for-value, i.e. banding recall
+    // is exactly 1.0 here (expected: 16 bands x 2 hashes catch a j>=0.5
+    // pair w.p. 1-(1-j^2)^16 >= 0.99). So exact Jaccard IS the value
+    // oracle for the LSH output on this input; the in-SQL sketch
+    // recompute was dropped only because it costs ~110 s in DuckDB vs
+    // seconds for the identity below. Same gram tokenization as
+    // q_dedup_ngram, but NO df-cap (minhashPairs verifies on full gram
+    // sets).
+    "q_dedup_minhash" -> (corpusCte + """,
+      |words AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws FROM corpus),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM words WHERE len(ws) >= 3)
+      |  UNION
+      |  SELECT doc_id, array_to_string(ws, ' ') AS gram FROM words WHERE len(ws) BETWEEN 1 AND 2
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n
+      |          FROM grams x JOIN grams y ON x.gram = y.gram AND x.doc_id < y.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a, b, round(n / (sa.sz + sb.sz - n), 4) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |WHERE n / (sa.sz + sb.sz - n) >= 0.5
+      |ORDER BY a, b""".stripMargin),
+
     // transitive closure via recursive CTE, then comp = min reachable id
     // — the declarative mirror of large-star/small-star's fixpoint
     "q_cc_components" ->
