@@ -466,6 +466,121 @@ object SparkEntry {
       |WHERE bit_count(xor(x.simh, y.simh)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  /** Full DuckDB value oracle for q_text_fingerprint: recomputes
+    * TextStats.fingerprint and the winnowed sketch size entirely in
+    * SQL. Word hashes reuse the [[simhashOracleSql]] splitmix64
+    * recursion (seed expansion splitmix64(0xf17e0) =
+    * 8670360907629911443); the rolling fold h' = h*1000003 + hw is a
+    * second recursive CTE over word positions in the unsigned 2^64
+    * domain (h*1000003 < 2^84 fits HUGEINT directly); winnow grams are
+    * the closed form hw0*K^3 + hw1*K^2 + hw2*K + hw3 (K=1000003, each
+    * term < 2^124) so they need no recursion, just position joins; the
+    * window-min runs over SIGNED values (the Scala loop compares
+    * Longs) with full windows only, mirroring winnow()'s
+    * `i + w <= grams.length || i == 0` loop bound via the
+    * ngrams<4 → single-window and nwords<4 → [fingerprint] edge
+    * branches. */
+  private val fingerprintOracleSql: String =
+    """WITH RECURSIVE docs0 AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      |  FROM documents
+      |),
+      |pw AS (
+      |  SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS pos
+      |  FROM docs0
+      |),
+      |vocab AS (SELECT DISTINCT word FROM pw),
+      |r AS (
+      |  SELECT word, 0 AS pos, 8670360907629911443::HUGEINT AS h FROM vocab
+      |  UNION ALL
+      |  SELECT word, pos, h FROM (
+      |      SELECT word, pos0 + 1 AS pos, xor(z3, z3 // 2147483648) AS h FROM (
+      |        SELECT word, pos0, ((z2 % 4294967296) * 10723151780598845931
+      |          + (((z2 // 4294967296) * 321982955) % 4294967296) * 4294967296
+      |          ) % 18446744073709551616 AS z3 FROM (
+      |          SELECT word, pos0, xor(z1, z1 // 134217728) AS z2 FROM (
+      |            SELECT word, pos0, ((y % 4294967296) * 13787848793156543929
+      |              + (((y // 4294967296) * 484763065) % 4294967296) * 4294967296
+      |              ) % 18446744073709551616 AS z1 FROM (
+      |              SELECT word, pos0, xor(x1, x1 // 1073741824) AS y FROM (
+      |                SELECT word, pos0, (xin + 11400714819323198485) % 18446744073709551616 AS x1 FROM (
+      |                  SELECT word, pos AS pos0,
+      |                         xor(h, ord(word[pos + 1])::HUGEINT) AS xin
+      |                  FROM r WHERE pos < length(word)
+      |              ) ) ) ) ) ) )
+      |),
+      |whash AS (SELECT word, h FROM r WHERE pos = length(word)),
+      |pwh AS (SELECT p.doc_id, p.pos, w.h FROM pw p JOIN whash w USING (word)),
+      |nword AS (SELECT doc_id, len(ws) AS n FROM docs0),
+      |fold AS (
+      |  SELECT doc_id, 0 AS pos, 0::HUGEINT AS h FROM docs0
+      |  UNION ALL
+      |  SELECT f.doc_id, f.pos + 1 AS pos, (f.h * 1000003 + p.h) % 18446744073709551616 AS h
+      |  FROM fold f JOIN pwh p ON p.doc_id = f.doc_id AND p.pos = f.pos + 1
+      |),
+      |fpin AS (
+      |  SELECT f.doc_id, xor(f.h, n.n::HUGEINT) AS x
+      |  FROM fold f JOIN nword n USING (doc_id) WHERE f.pos = n.n
+      |),
+      |fp AS (
+      |  SELECT doc_id, CASE WHEN smout >= 9223372036854775808
+      |                      THEN (smout - 18446744073709551616)::BIGINT
+      |                      ELSE smout::BIGINT END AS fingerprint FROM (
+      |      SELECT doc_id, xor(z3, z3 // 2147483648) AS smout FROM (
+      |        SELECT doc_id, ((z2 % 4294967296) * 10723151780598845931
+      |          + (((z2 // 4294967296) * 321982955) % 4294967296) * 4294967296
+      |          ) % 18446744073709551616 AS z3 FROM (
+      |          SELECT doc_id, xor(z1, z1 // 134217728) AS z2 FROM (
+      |            SELECT doc_id, ((y % 4294967296) * 13787848793156543929
+      |              + (((y // 4294967296) * 484763065) % 4294967296) * 4294967296
+      |              ) % 18446744073709551616 AS z1 FROM (
+      |              SELECT doc_id, xor(x1, x1 // 1073741824) AS y FROM (
+      |                SELECT doc_id, (x + 11400714819323198485) % 18446744073709551616 AS x1 FROM fpin
+      |            ) ) ) ) ) )
+      |),
+      |gin AS (
+      |  SELECT a.doc_id, a.pos AS i,
+      |         ( (a.h * 1000009000027000027) % 18446744073709551616
+      |         + (b.h * 1000006000009) % 18446744073709551616
+      |         + (c.h * 1000003) % 18446744073709551616
+      |         + d.h ) % 18446744073709551616 AS x
+      |  FROM pwh a
+      |  JOIN pwh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN pwh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      |  JOIN pwh d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+      |),
+      |g AS (
+      |  SELECT doc_id, i, CASE WHEN smout >= 9223372036854775808
+      |                         THEN (smout - 18446744073709551616)::BIGINT
+      |                         ELSE smout::BIGINT END AS gs FROM (
+      |      SELECT doc_id, i, xor(z3, z3 // 2147483648) AS smout FROM (
+      |        SELECT doc_id, i, ((z2 % 4294967296) * 10723151780598845931
+      |          + (((z2 // 4294967296) * 321982955) % 4294967296) * 4294967296
+      |          ) % 18446744073709551616 AS z3 FROM (
+      |          SELECT doc_id, i, xor(z1, z1 // 134217728) AS z2 FROM (
+      |            SELECT doc_id, i, ((y % 4294967296) * 13787848793156543929
+      |              + (((y // 4294967296) * 484763065) % 4294967296) * 4294967296
+      |              ) % 18446744073709551616 AS z1 FROM (
+      |              SELECT doc_id, i, xor(x1, x1 // 1073741824) AS y FROM (
+      |                SELECT doc_id, i, (x + 11400714819323198485) % 18446744073709551616 AS x1 FROM gin
+      |            ) ) ) ) ) )
+      |),
+      |wmins AS (
+      |  SELECT doc_id, i,
+      |         min(gs) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |         count(*) OVER (PARTITION BY doc_id) AS ngrams
+      |  FROM g
+      |),
+      |sketch AS (
+      |  SELECT doc_id, count(DISTINCT wmin) AS sk FROM wmins
+      |  WHERE i <= greatest(ngrams - 3, 1) GROUP BY 1
+      |)
+      |SELECT n.doc_id, fp.fingerprint,
+      |       (CASE WHEN n.n = 0 THEN 0 WHEN n.n < 4 THEN 1 ELSE s.sk END)::INT AS sketch_size
+      |FROM nword n JOIN fp USING (doc_id) LEFT JOIN sketch s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Full DuckDB value oracle for q_ann_lsh: recomputes the
     * random-hyperplane coefficients (same splitmix64 emulation as
     * [[simhashOracleSql]], signed/9.223372036854776e18 mapping), the
@@ -776,6 +891,90 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextStats.langId exactly: Character.isLetter == \p{L},
+    // the CJK block test is the same codepoint range, stopword hit
+    // rates count duplicate words, and Scala's maxBy over the
+    // lang-sorted Seq keeps the FIRST maximum — i.e. ties break to the
+    // alphabetically smallest language code (rate DESC, lang ASC).
+    "q_text_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS letters,
+        |         length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+        |  FROM documents
+        |),
+        |rates AS (
+        |  SELECT b.doc_id, l.lang,
+        |         CASE WHEN len(b.ws) = 0 THEN 0.0
+        |              ELSE len(list_filter(b.ws, w -> list_contains(l.sw, w)))::DOUBLE / len(b.ws)
+        |         END AS rate
+        |  FROM base b CROSS JOIN (VALUES
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','auf','für']),
+        |    ('en', ['the','and','of','to','a','in','is','it','that','for']),
+        |    ('es', ['el','la','de','que','y','en','un','es','por','con']),
+        |    ('fr', ['le','la','de','et','est','un','une','dans','que','pour'])) l(lang, sw)
+        |),
+        |best AS (
+        |  SELECT doc_id, lang, rate,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY rate DESC, lang ASC) AS rk
+        |  FROM rates
+        |)
+        |SELECT b.doc_id,
+        |       CASE WHEN b.letters = 0 THEN 'und'
+        |            WHEN b.cjk::DOUBLE / b.letters > 0.2 THEN 'zh'
+        |            WHEN len(b.ws) = 0 THEN 'und'
+        |            WHEN bs.rate > 0.0 THEN bs.lang
+        |            ELSE 'und' END AS lang_guess
+        |FROM base b JOIN best bs ON bs.doc_id = b.doc_id AND bs.rk = 1
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_text_fingerprint" -> fingerprintOracleSql,
+
+    // Multimodal.synthesize derives every header field from doc_id
+    // alone (the payload byte stream is the only sequential part, and
+    // meta never reads it), so the oracle is a closed-form scalar
+    // recompute: two one-shot splitmix64 applications (the same
+    // 6-stage chain as the sketch oracles, chained CTE per stage, both
+    // width and height lanes carried side by side) plus modular
+    // arithmetic on doc_id for modality / frame count / payload size.
+    "q_mm_meta" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, (doc_id * 3 + 1)::HUGEINT AS xw, (doc_id * 3 + 2)::HUGEINT AS xh
+        |  FROM documents
+        |),
+        |s1 AS (SELECT doc_id, (xw + 11400714819323198485) % 18446744073709551616 AS xw,
+        |              (xh + 11400714819323198485) % 18446744073709551616 AS xh FROM s0),
+        |s2 AS (SELECT doc_id, xor(xw, xw // 1073741824) AS xw,
+        |              xor(xh, xh // 1073741824) AS xh FROM s1),
+        |s3 AS (SELECT doc_id,
+        |              ((xw % 4294967296) * 13787848793156543929
+        |               + (((xw // 4294967296) * 484763065) % 4294967296) * 4294967296
+        |              ) % 18446744073709551616 AS xw,
+        |              ((xh % 4294967296) * 13787848793156543929
+        |               + (((xh // 4294967296) * 484763065) % 4294967296) * 4294967296
+        |              ) % 18446744073709551616 AS xh FROM s2),
+        |s4 AS (SELECT doc_id, xor(xw, xw // 134217728) AS xw,
+        |              xor(xh, xh // 134217728) AS xh FROM s3),
+        |s5 AS (SELECT doc_id,
+        |              ((xw % 4294967296) * 10723151780598845931
+        |               + (((xw // 4294967296) * 321982955) % 4294967296) * 4294967296
+        |              ) % 18446744073709551616 AS xw,
+        |              ((xh % 4294967296) * 10723151780598845931
+        |               + (((xh // 4294967296) * 321982955) % 4294967296) * 4294967296
+        |              ) % 18446744073709551616 AS xh FROM s4),
+        |wh AS (SELECT doc_id,
+        |              (16 + (xor(xw, xw // 2147483648) % 64))::INT AS width,
+        |              (16 + (xor(xh, xh // 2147483648) % 64))::INT AS height FROM s5)
+        |SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       width, height,
+        |       (CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6 ELSE 1 END)::INT AS n_frames,
+        |       (11 + CASE WHEN doc_id % 3 = 1 THEN 256 + doc_id % 128
+        |                  ELSE width * height * (CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6 ELSE 1 END)
+        |             END)::BIGINT AS n_bytes
+        |FROM wh ORDER BY doc_id""".stripMargin
   )
 }
