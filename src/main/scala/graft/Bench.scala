@@ -50,9 +50,10 @@ object Bench {
       Pipeline.Config(checkpointDir = Some(ckptDir.toString))).triples.count()
     val ckptCold = time(ckptRun())
     val ckptResume = time(ckptRun())
-    java.nio.file.Files.walk(ckptDir)
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    scala.util.Using.resource(java.nio.file.Files.walk(ckptDir)) { files =>
+      files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> time(fn(spark, sfDir).count())
     }

@@ -49,7 +49,6 @@ object Pipeline {
     *   shape. */
   final case class Config(
       nParts: Int = 32,
-      saltMod: Int = 16,
       runId: String = "run-1",
       checkpointDir: Option[String] = None,
       fingerprintInputs: Boolean = true,

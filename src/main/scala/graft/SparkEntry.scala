@@ -460,6 +460,9 @@ object SparkEntry {
       |sim AS (
       |  SELECT doc_id, CASE WHEN sum(CASE WHEN acc > 0 THEN p2 ELSE 0::HUGEINT END) >= 9223372036854775808 THEN (sum(CASE WHEN acc > 0 THEN p2 ELSE 0::HUGEINT END) - 18446744073709551616)::BIGINT ELSE sum(CASE WHEN acc > 0 THEN p2 ELSE 0::HUGEINT END)::BIGINT END AS simh
       |  FROM accs GROUP BY 1
+      |  UNION ALL
+      |  SELECT doc_id, 0::BIGINT AS simh FROM corpus
+      |  WHERE len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) = 0
       |)
       |SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simh, y.simh)) AS hamming
       |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
@@ -827,6 +830,10 @@ object SparkEntry {
       |SELECT a, b, round(n / (sa.sz + sb.sz - n), 4) AS jaccard
       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
       |WHERE n / (sa.sz + sb.sz - n) >= 0.5
+      |UNION ALL
+      |SELECT e1.doc_id AS a, e2.doc_id AS b, 1.0::DOUBLE AS jaccard
+      |FROM (SELECT doc_id FROM words WHERE len(ws) = 0) e1
+      |JOIN (SELECT doc_id FROM words WHERE len(ws) = 0) e2 ON e1.doc_id < e2.doc_id
       |ORDER BY a, b""".stripMargin),
 
     // transitive closure via recursive CTE, then comp = min reachable id

@@ -29,9 +29,18 @@ object ConnectedComponents {
     * the job (no lineage survives to recompute from). With `Reliable`,
     * every `every`-th iteration (and the initial edge set) instead
     * writes parquet under `dir` and reads it back — durable on the
-    * cluster's shared FS (HDFS/S3), so a failed loop restarts from the
-    * last written iteration having lost at most `every - 1` rounds.
-    * Use localCheckpoint for single-box / short loops where job-level
+    * cluster's shared FS (HDFS/S3) — and a re-invocation of [[run]]
+    * with the same `dir` RESUMES from the newest committed iteration
+    * (its `_SUCCESS` marker is the commit point), so a job-level retry
+    * after any failure — including executor loss on one of the
+    * localCheckpoint'd iterations between two reliable pins — loses at
+    * most `every - 1` rounds of work, not the whole loop.
+    *
+    * Contract: `dir` identifies ONE logical run over ONE edge set
+    * (like a Spark checkpoint dir). Reusing it across different inputs
+    * resumes from the previous input's state by design — callers that
+    * want a fresh computation must pass a fresh/cleaned dir. Use
+    * localCheckpoint for single-box / short loops where whole-loop
     * retry is acceptable; Reliable for long loops on clusters. Earlier
     * iteration dirs are deleted as the loop advances; the LAST dir
     * backs the returned (lazy) DataFrame, so `dir` must outlive
@@ -54,6 +63,16 @@ object ConnectedComponents {
           localThreshold: Long = 1L << 20,
           reliable: Option[Reliable] = None): DataFrame = {
     val spark = edges.sparkSession
+
+    // resume-from-checkpoint: a committed cc-iter-N under the reliable
+    // dir means a previous invocation over this dir's edge set got that
+    // far — continue from it instead of recomputing from the raw edges
+    // (see the Reliable contract above; `dir` is per-logical-run)
+    reliable.flatMap(r => latestCommittedIter(spark, r.dir)) match {
+      case Some((it, pinned)) =>
+        return runDistributed(pinned, maxIter, reliable, startIter = it)
+      case None => ()
+    }
 
     // canonical undirected form (u > v), self-loops dropped
     val canonical = edges
@@ -96,6 +115,29 @@ object ConnectedComponents {
       case _ => df.localCheckpoint(true)
     }
 
+  /** Newest `cc-iter-N` under `dir` that finished its write (Spark's
+    * `_SUCCESS` marker is the commit point — a crash mid-write leaves
+    * no marker and the dir is ignored). Local-FS listing, like
+    * [[deleteDirsBefore]]; the parquet read itself is Spark-native. */
+  private def latestCommittedIter(spark: SparkSession,
+                                  dir: String): Option[(Int, DataFrame)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir.stripPrefix("file:"))
+    if (!java.nio.file.Files.isDirectory(root)) return None
+    val iters = scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+      s.iterator().asScala.flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("cc-iter-") &&
+            java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+          name.stripPrefix("cc-iter-").toIntOption
+        else None
+      }.toList
+    }
+    iters.sorted.lastOption.map { it =>
+      (it, spark.read.parquet(s"$dir/cc-iter-$it"))
+    }
+  }
+
   /** Local-FS cleanup of superseded iteration dirs (the sandbox shape;
     * a cluster deployment swaps this one call for Hadoop
     * FileSystem.delete — the write-read pinning above already goes
@@ -103,25 +145,29 @@ object ConnectedComponents {
   private def deleteDirsBefore(dir: String, iter: Int): Unit = {
     val root = java.nio.file.Paths.get(dir.stripPrefix("file:"))
     if (java.nio.file.Files.isDirectory(root)) {
-      java.nio.file.Files.list(root).forEach { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("cc-iter-") &&
-            name.stripPrefix("cc-iter-").toIntOption.exists(_ < iter)) {
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      scala.util.Using.resource(java.nio.file.Files.list(root)) { listing =>
+        listing.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("cc-iter-") &&
+              name.stripPrefix("cc-iter-").toIntOption.exists(_ < iter)) {
+            scala.util.Using.resource(java.nio.file.Files.walk(p)) { files =>
+              files.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            }
+          }
         }
       }
     }
   }
 
   private def runDistributed(first: DataFrame, maxIter: Int,
-                             reliable: Option[Reliable] = None): DataFrame = {
+                             reliable: Option[Reliable] = None,
+                             startIter: Int = 0): DataFrame = {
     var e = first
 
     var fp = fingerprint(e)
     var converged = false
-    var iter = 0
+    var iter = startIter
     while (!converged && iter < maxIter) {
       val ls = largeStar(e)
       val ss = smallStar(ls)

@@ -172,9 +172,13 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
             .partitionBy("part_id")
             .parquet(dataPath)
           observed(stage) = obs.get("rows_out").asInstanceOf[Long]
-          val written = spark.read.parquet(dataPath)
-            .filter(col("part_id").isin(todo: _*))
-            .groupBy("part_id").count().as[(Int, Long)].collect().toMap
+          // a run whose every todo-partition computed to zero rows may
+          // have written nothing at all (partitionBy of an empty frame)
+          val written =
+            if (!hasData(dataPath)) Map.empty[Int, Long]
+            else spark.read.parquet(dataPath)
+              .filter(col("part_id").isin(todo: _*))
+              .groupBy("part_id").count().as[(Int, Long)].collect().toMap
           // dynamic overwrite only touches partitions present in the new
           // data: a stale partition whose recomputed output is EMPTY must
           // be dropped explicitly or resume would keep serving old rows
@@ -185,12 +189,11 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
               started, System.currentTimeMillis(), nextSeq(), stats(p)._1)
           })
         }
-        // empty-input first run: nothing was ever written (todo empty,
-        // no directory) — return an empty frame with the stage schema
-        // instead of letting the read throw on the missing path
-        if (exists(dataPath)) spark.read.parquet(dataPath)
-        else spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), compute.schema)
+        // empty-input first run (no directory) or all-empty output
+        // (directory with only _SUCCESS): return an empty frame with
+        // the stage schema instead of letting the read throw
+        if (hasData(dataPath)) spark.read.parquet(dataPath)
+        else emptyLike(compute)
 
       case None =>
         val done = completedParts(stage)
@@ -207,16 +210,19 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
             .partitionBy("part_id")
             .parquet(dataPath)
           observed(stage) = obs.get("rows_out").asInstanceOf[Long]
-          val written = spark.read.parquet(dataPath)
-            .filter(!col("part_id").isin(done.toSeq: _*))
-            .groupBy("part_id").count()
-            .as[(Int, Long)].collect()
+          val written =
+            if (!hasData(dataPath)) Array.empty[(Int, Long)]
+            else spark.read.parquet(dataPath)
+              .filter(!col("part_id").isin(done.toSeq: _*))
+              .groupBy("part_id").count()
+              .as[(Int, Long)].collect()
           commit(written.map { case (p, n) =>
             (runId, stage, p, -1L, n,
               started, System.currentTimeMillis(), nextSeq(), 0L)
           })
         }
-        spark.read.parquet(dataPath)
+        if (hasData(dataPath)) spark.read.parquet(dataPath)
+        else emptyLike(df)
     }
   }
 
@@ -263,8 +269,29 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
   private def deleteDir(p: String): Unit = {
     val root = Paths.get(p.stripPrefix("file:"))
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
+      scala.util.Using.resource(Files.walk(root)) { files =>
+        files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
     }
   }
+
+  /** True when the stage directory holds at least one parquet data
+    * file. A partitionBy write of an EMPTY frame commits a directory
+    * containing only `_SUCCESS` (no partition dirs, no schema), which
+    * `spark.read.parquet` cannot infer a schema from — every read of a
+    * stage path must go through this guard and fall back to an empty
+    * frame with the stage's schema. Local-FS walk, like [[deleteDir]]. */
+  private def hasData(p: String): Boolean = {
+    val root = Paths.get(p.stripPrefix("file:"))
+    try {
+      Files.exists(root) && scala.util.Using.resource(Files.walk(root)) { files =>
+        files.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      }
+    } catch { case _: Throwable => true }
+  }
+
+  private def emptyLike(df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
 }

@@ -85,6 +85,20 @@ class DedupSpec extends AnyFunSuite {
       s"LSH recall ${lsh.size}/${exact.size}")
   }
 
+  test("wordless documents pair with each other (sentinel sketches), not with real docs") {
+    // empty/whitespace-only texts yield the all-sentinel minhash
+    // signature and simhash 0, so they bucket together and pass verify
+    // (jaccard(∅,∅)=1.0, hamming 0). The DuckDB oracles carry explicit
+    // wordless-doc branches mirroring exactly this — keep them in sync.
+    val docs = Seq((1L, ""), (2L, " \t "), (3L, "real content words here now"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(docs).as[(Long, Long, Double)].collect().toSet
+    assert(mh == Set((1L, 2L, 1.0)), s"minhash wordless pairing: $mh")
+    val sh = Dedup.simhashPairs(docs).as[(Long, Long, Int)].collect().toSet
+    assert(sh.contains((1L, 2L, 0)), s"simhash wordless pairing: $sh")
+    assert(sh.forall(p => p._1 == 1L && p._2 == 2L || p._3 > 0), s"real doc glued to empties: $sh")
+  }
+
   test("simhash finds planted exact pairs (hamming 0)") {
     val pairs = Dedup.simhashPairs(corpus).as[(Long, Long, Int)].collect()
     val exactIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id").as[Long].collect()

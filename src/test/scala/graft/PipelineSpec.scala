@@ -70,6 +70,31 @@ class CcSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable mode resumes from the newest committed iteration") {
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("cc-resume").toString
+    val first = ConnectedComponents.run(edges, localThreshold = 0,
+        reliable = Some(ConnectedComponents.Reliable(dir, every = 1)))
+      .as[(Long, Long)].collect().toSet
+    // A re-invocation over the same dir must RESUME from the surviving
+    // committed iteration, not recompute from its input: feed a decoy
+    // edge set and assert the prior run's answer comes back (the
+    // documented dir-is-per-logical-run contract makes resume
+    // observable; a job-level retry after a mid-loop crash hits exactly
+    // this path with the real input).
+    val decoy = Seq((900L, 901L)).toDF("src", "dst")
+    val resumed = ConnectedComponents.run(decoy, localThreshold = 0,
+        reliable = Some(ConnectedComponents.Reliable(dir, every = 1)))
+      .as[(Long, Long)].collect().toSet
+    assert(resumed == first, "second run over the same dir must resume, not recompute")
+    scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) { fs =>
+      fs.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("adversarial star + chain graphs") {
     // hot star: one hub linked to 1000 spokes; plus a 64-node chain
     val star = (1L to 1000L).map(i => (5000L, 5000L + i))

@@ -161,4 +161,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("id", "part_id", "y"))
   }
+
+  test("non-empty input whose stage output is empty commits cleanly") {
+    // a partitionBy write of an all-filtered-out frame creates a
+    // _SUCCESS-only directory spark.read.parquet cannot infer a schema
+    // from — both the written-rows accounting and the final read must
+    // survive that (and the partitions must still commit, so the rerun
+    // resumes instead of recomputing)
+    val dir = Files.createTempDirectory("graft-resume7").toString
+    val lin = new graft.plans.Lineage(spark, dir, "rZ")
+    val in = spark.range(6).select(col("id"),
+      (col("id") % 2).cast("int").as("part_id"))
+    def stage = in.filter(col("id") < 0).withColumn("y", col("id"))
+    val out = lin.runPartitioned("s", stage, Some(in))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "part_id", "y"))
+    assert(lin.table.filter(col("stage") === "s").count() == 2,
+      "both input partitions must commit (rows_out=0)")
+    val again = lin.runPartitioned("s", stage, Some(in))
+    assert(again.count() == 0)
+    assert(lin.table.filter(col("stage") === "s").count() == 2, "rerun must resume, not recommit")
+  }
 }
