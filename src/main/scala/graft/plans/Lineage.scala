@@ -137,10 +137,29 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
     * write this Lineage instance performed for `stage`. */
   def observedRowsOut(stage: String): Option[Long] = observed.get(stage)
 
+  /** rows_out from an [[Observation]], tolerating a missing metric:
+    * when AQE proves a write's input empty (e.g. every todo-partition
+    * filtered to zero rows), `PropagateEmptyRelation` replaces the
+    * subtree INCLUDING the CollectMetrics node, so the observation
+    * completes with no `rows_out` entry — which can only happen when
+    * the true count is 0. */
+  private def observedOrZero(obs: Observation): Long =
+    obs.get.get("rows_out").map(_.asInstanceOf[Long]).getOrElse(0L)
+
   /** Checkpoint a stage whose DataFrame carries an int `part_id` column.
     * With `input` supplied, recomputes partitions that are uncommitted
     * OR whose input fingerprint changed; without it, recomputes only
-    * uncommitted partitions. Returns the full materialized stage. */
+    * uncommitted partitions. Returns the full materialized stage.
+    *
+    * The write repartitions by part_id first: a bare
+    * `partitionBy("part_id")` opens one writer per (task, part_id), so
+    * T input tasks × P lineage partitions produce T·P files — measured
+    * 7670 files / 34 MB at sf0.1 (≈5× the whole stage's compute in
+    * write+readback overhead), and ~10^8 files for a 100k-task cluster
+    * run, which no metastore survives. Co-locating each part_id into
+    * one task first caps the file count at P regardless of input width
+    * (file count == resume granularity, the shape a 100 TB run needs);
+    * the shuffle it costs moves exactly the bytes being written anyway. */
   def runPartitioned(stage: String, compute: => DataFrame,
                      input: Option[DataFrame] = None): DataFrame = {
     val dataPath = s"$runDir/$stage"
@@ -167,11 +186,12 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
           val obs = Observation()
           compute.filter(col("part_id").isin(todo: _*))
             .observe(obs, count(lit(1)).as("rows_out"))
+            .repartition(col("part_id")) // see note on partitionBy fan-out below
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .parquet(dataPath)
-          observed(stage) = obs.get("rows_out").asInstanceOf[Long]
+          observed(stage) = observedOrZero(obs)
           // a run whose every todo-partition computed to zero rows may
           // have written nothing at all (partitionBy of an empty frame)
           val written =
@@ -205,11 +225,12 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
         if (newParts == null || newParts.nonEmpty) {
           val obs = Observation()
           todo.observe(obs, count(lit(1)).as("rows_out"))
+            .repartition(col("part_id"))
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .parquet(dataPath)
-          observed(stage) = obs.get("rows_out").asInstanceOf[Long]
+          observed(stage) = observedOrZero(obs)
           val written =
             if (!hasData(dataPath)) Array.empty[(Int, Long)]
             else spark.read.parquet(dataPath)
@@ -244,7 +265,7 @@ final class Lineage(spark: SparkSession, runDir: String, runId: String) {
       val obs = Observation()
       compute.observe(obs, count(lit(1)).as("rows_out"))
         .write.mode(SaveMode.Overwrite).parquet(dataPath)
-      val n = obs.get("rows_out").asInstanceOf[Long]
+      val n = observedOrZero(obs)
       observed(stage) = n
       commit(Array((runId, stage, -1, inputFpRows.map(_._2).getOrElse(-1L), n,
         started, System.currentTimeMillis(), nextSeq(), fp)))
