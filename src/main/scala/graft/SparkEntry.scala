@@ -348,7 +348,86 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.synthesize(t(s, d, "documents")))
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame_bytes")).cast("long").as("frame_len"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // ---- round-3 extensions beyond the reference surface: multi-level
+    // aggregation, window frames, temporal joins, streaming (§2.B+) ----
+    "q_agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, d) =>
+      t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "q_agg_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // window FRAME specs: a ROWS moving sum (exact via decimal) and a
+    // RANGE frame over the numeric order key — both beyond the default
+    // frame the other window queries use
+    "q_window_frame" -> ((s, d) => {
+      val rows3 = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      val range5 = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+        .rangeBetween(-5, Window.currentRow)
+      t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")).over(rows3)
+            .cast("double"), 2).as("mov_sum"),
+          max(col("o_totalprice")).over(rows3).as("mov_max"),
+          count(lit(1)).over(range5).as("n_near"))
+        .orderBy("o_orderkey")
+    }),
+
+    // pure (no equi-key) time-band join, bucketed: clicks within the 2
+    // minutes before each purchase — Temporal.bandJoinBackward turns
+    // the theta join Catalyst would BNLJ into a linear bucket equi-join
+    "q_join_range" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val n = Temporal.bandJoinBackward(purchases, clicks, "ts", "click_ts", 120L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+      purchases.join(n, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
+    // backward as-of join: each event picks up the user's latest order
+    // at or before the event time (right side pre-deduped per
+    // (custkey, orderdate) for tie determinism — same caveat DuckDB's
+    // ASOF JOIN documents)
+    "q_join_asof" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, d, "orders").groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      Temporal.asofJoinBackward(ev, ord,
+          "user_id", "ts", "o_custkey", "o_orderdate",
+          Seq("last_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"),
+          col("o_orderdate").as("asof_date"))
+        .orderBy("event_id")
+    }),
+
+    // Structured Streaming: the hourly event aggregation as a stream
+    // drained via Trigger.AvailableNow — value-identical to batch SQL
+    // (watermarked append mode + sessionization state in StreamingSpec)
+    "q_stream_window" -> ((s, d) =>
+      graft.streaming.Streaming.hourlyEventCounts(s, s"$d/events.parquet")
+        .orderBy("hour_ts", "event_type"))
   )
 
   /** Embedding corpus with planted near-duplicates: every vec_id%10==0
@@ -982,6 +1061,59 @@ object SparkEntry {
         |       (11 + CASE WHEN doc_id % 3 = 1 THEN 256 + doc_id % 128
         |                  ELSE width * height * (CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6 ELSE 1 END)
         |             END)::BIGINT AS n_bytes
-        |FROM wh ORDER BY doc_id""".stripMargin
+        |FROM wh ORDER BY doc_id""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |                    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |                  AS DOUBLE), 2) AS mov_sum,
+        |       max(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_max,
+        |       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT a.event_id, count(b.event_id) AS n_clicks
+        |FROM events a
+        |LEFT JOIN events b
+        |  ON b.event_type = 'click'
+        | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
+        |WHERE a.event_type = 'purchase'
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.last_orderkey, o.o_orderdate AS asof_date
+        |FROM events e
+        |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |       count(*) AS cnt,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2 round-3 extension): the
+  * same event analytics the batch queries run, expressed as streams —
+  * `readStream` → watermarked window aggregation → sink, plus a
+  * `flatMapGroupsWithState` sessionizer for state Spark's built-in
+  * operators can't express.
+  *
+  * The driver-facing entry ([[hourlyEventCounts]]) uses
+  * `Trigger.AvailableNow` over the static events table: the stream
+  * drains in bounded micro-batches and the result must be VALUE-
+  * IDENTICAL to the batch `GROUP BY time_bucket` — which is exactly
+  * what the DuckDB oracle checks. At production scale the same code
+  * tails a growing directory/Kafka topic; nothing in the query changes
+  * but the trigger.
+  */
+object Streaming {
+
+  private val nameCounter = new AtomicLong()
+
+  /** Drain a (bounded) streaming frame into an in-memory table via
+    * AvailableNow and return it as a batch DataFrame. Memory sink is
+    * test/driver plumbing only — production writes parquet/Kafka; the
+    * streaming QUERY (the part that must scale) is identical. */
+  def drainAvailableNow(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_${nameCounter.getAndIncrement()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // materialize before dropping the registration
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** Hourly per-type event counts + exact value sums as a stream.
+    * Complete output mode because the driver compares the FULL result
+    * against batch SQL; the watermarked append-mode variant of the
+    * same aggregation is exercised in StreamingSpec (append only emits
+    * a window once the watermark passes it — on an unbounded stream
+    * that is the mode that bounds state). */
+  def hourlyEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    // the testdata table is a single parquet FILE: FileStreamSource
+    // force-sets basePath to a NON-glob path, which then fails the
+    // "basePath must be a directory" check — wrapping the filename in
+    // a {}-glob (matches exactly the same file) takes the glob code
+    // path, which infers base paths correctly. A directory-shaped
+    // table streams as-is.
+    val f = new java.io.File(eventsPath)
+    val streamPath =
+      if (f.isFile) s"${f.getParent}/{${f.getName}}" else eventsPath
+    val stream = spark.readStream.schema(schema).parquet(streamPath)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("sum_value"))
+    drainAvailableNow(agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  /** Watermarked append-mode hourly counts — the unbounded-stream
+    * shape (state for a window is dropped once the watermark passes
+    * it; late rows beyond the watermark are discarded). Used by
+    * StreamingSpec with a MemoryStream source. */
+  def hourlyCountsAppend(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(user_id: Long, start_ts: Long, end_ts: Long, n_events: Int)
+  // NOT private: the state encoder's generated code must reach it
+  final case class SessionState(start: Long, last: Long, n: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom-
+    * state operator: events for a user belong to one session while
+    * consecutive gaps stay under `gapMs`; a session is emitted when the
+    * event-time watermark passes its close (timeout), so state per key
+    * is O(1) and bounded regardless of stream length. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.last, s.n))
+          } else {
+            val ts = rows.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

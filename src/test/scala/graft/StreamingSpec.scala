@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streaming
+
+/** Structured Streaming semantics: value identity with batch on the
+  * driver query, watermark behavior in append mode, and the
+  * flatMapGroupsWithState sessionizer. MemoryStream drives the
+  * multi-batch cases (a parquet AvailableNow drain is single-batch). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyEventCounts (streamed) == the same aggregation run as batch") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Streaming.hourlyEventCounts(spark, s"$dir/events.parquet")
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("sum_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("append mode + watermark: closed windows emit, late data is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.hourlyCountsAppend(
+      source.toDF().toDF("ts", "event_type"), watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def emitted(): Set[(String, String, Long)] = spark.table("wm_test")
+        .select(col("window.start").cast("string"), col("event_type"), col("cnt"))
+        .as[(String, String, Long)].collect().toSet
+      // batch 1: two windows' worth of data
+      source.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:15:00"), "a"),
+        (ts("2024-01-01 11:05:00"), "b"))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (11:05 - 30m = 10:35) hasn't
+      // passed the 10:00 window's end (11:00)
+      assert(emitted().isEmpty)
+      // batch 2: an event far ahead pushes the watermark past 11:00 —
+      // the 10:00 'a' window closes and emits cnt=2, state evicted
+      source.addData((ts("2024-01-01 12:00:00"), "c"))
+      q.processAllAvailable()
+      assert(emitted() == Set(("2024-01-01 10:00:00", "a", 2L)))
+      // batch 3: a row for the CLOSED 10:00 window (now genuinely late:
+      // window end 11:00 <= watermark 11:30) must be dropped — were it
+      // accepted it would re-emit a second 10:00 row on eviction. The
+      // 12:30 row also advances the watermark to 12:00, closing 11:00 'b'.
+      source.addData((ts("2024-01-01 10:20:00"), "a"), (ts("2024-01-01 12:30:00"), "c"))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        ("2024-01-01 10:00:00", "a", 2L),
+        ("2024-01-01 11:00:00", "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(source.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    def t0 = ts("2024-01-01 10:00:00").getTime
+    try {
+      // user 1: two events 30s apart (one session); user 2: one event
+      source.addData(
+        Streaming.SessionEvent(1L, new Timestamp(t0)),
+        Streaming.SessionEvent(1L, new Timestamp(t0 + 30000L)),
+        Streaming.SessionEvent(2L, new Timestamp(t0 + 10000L)))
+      q.processAllAvailable()
+      // user 1 again 5 minutes later: new session; watermark advances
+      // past both old sessions' timeouts → they emit via timeout
+      source.addData(Streaming.SessionEvent(1L, new Timestamp(t0 + 300000L)))
+      q.processAllAvailable()
+      source.addData(Streaming.SessionEvent(3L, new Timestamp(t0 + 900000L)))
+      q.processAllAvailable()
+      val got = spark.table("sess_test").as[Streaming.SessionOut].collect()
+        .map(s => (s.user_id, s.start_ts - t0, s.end_ts - t0, s.n_events)).toSet
+      assert(got.contains((1L, 0L, 30000L, 2)), s"user-1 first session missing: $got")
+      assert(got.contains((2L, 10000L, 10000L, 1)), s"user-2 session missing: $got")
+      // the in-batch split path also works: a user sending a burst with
+      // an internal gap inside ONE batch closes the first session inline
+      source.addData(
+        Streaming.SessionEvent(9L, new Timestamp(t0 + 1000000L)),
+        Streaming.SessionEvent(9L, new Timestamp(t0 + 1200000L)))
+      q.processAllAvailable()
+      val nine = spark.table("sess_test").as[Streaming.SessionOut].collect()
+        .filter(_.user_id == 9L).map(s => (s.start_ts - t0, s.n_events)).toSet
+      assert(nine == Set((1000000L, 1)), s"in-batch gap split: $nine")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+/** Temporal join operators vs brute-force theta-join references
+  * computed on the same session — adversarial timestamps included
+  * (exact band edges, bucket boundaries, sub-second fractions, ties). */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoinBackward == brute-force latest-at-or-before per key") {
+    import spark.implicits._
+    // seeded random events/quotes; keys with zero, one and many rights
+    val rnd = new scala.util.Random(7)
+    val lefts = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L))
+    }.toDF("event_id", "k", "t")
+    val rights = (1 to 120).map { j =>
+      (rnd.nextInt(6).toLong, // keys 6,7 never matched
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        j.toLong)
+    }.toDF("rk", "rt", "payload")
+      // tie-break right rows sharing (key, time) deterministically
+      .groupBy("rk", "rt").agg(max("payload").as("payload"))
+
+    val got = Temporal.asofJoinBackward(lefts, rights,
+        "k", "t", "rk", "rt", Seq("payload", "rt"))
+      .select("event_id", "payload", "rt")
+
+    val brute = lefts.join(rights, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+          .orderBy(col("rt").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("event_id", "payload", "rt")
+
+    assert(got.count() == 300)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // at least one left row genuinely unmatched, so the null path ran
+    assert(got.filter(col("payload").isNull).count() > 0)
+  }
+
+  test("asof: right row exactly AT the left time is visible (>= semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")
+    val r = Seq((10L, ts("2024-01-01 10:00:00"), 42L)).toDF("rk", "rt", "payload")
+    val out = Temporal.asofJoinBackward(l, r, "k", "t", "rk", "rt", Seq("payload"))
+    assert(out.select("payload").as[Long].head() == 42L)
+  }
+
+  test("bandJoinBackward == brute-force theta join, incl. edges and fractions") {
+    import spark.implicits._
+    val band = 120L
+    val base = 1700000000000L
+    val rnd = new scala.util.Random(11)
+    // adversarial: exact band edge (t - 120s), exact bucket boundaries,
+    // sub-second fractions on both sides
+    val special = Seq(
+      (9001L, new Timestamp(base + 240000L)),           // on a bucket boundary
+      (9002L, new Timestamp(base + 240000L - 120000L)), // exactly band before
+      (9003L, new Timestamp(base + 239999L)),           // 1ms inside
+      (9004L, new Timestamp(base + 360500L)))           // fractional second
+    val ls = ((1 to 200).map(i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(600) * 1000L + rnd.nextInt(1000)))) ++
+      special.take(1) :+ (9004L, special(3)._2)).toDF("lid", "lt")
+    val rs = ((1 to 200).map(j =>
+      (1000L + j, new Timestamp(base + rnd.nextInt(600) * 1000L + rnd.nextInt(1000)))) ++
+      special).toDF("rid", "rt")
+
+    val got = Temporal.bandJoinBackward(ls, rs, "lt", "rt", band)
+      .select("lid", "rid")
+    val brute = ls.join(rs,
+        col("rt") >= col("lt") - expr(s"INTERVAL $band SECOND") && col("rt") <= col("lt"))
+      .select("lid", "rid")
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // the exact-edge pair must be present: rt == lt - band qualifies
+    assert(got.filter(col("lid") === 9001L && col("rid") === 9002L).count() == 1)
+  }
+
+  test("bandJoin plan is a hash join on buckets, not BroadcastNestedLoopJoin") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("lid", "lt")
+    val rs = Seq((2L, ts("2024-01-01 09:59:00"))).toDF("rid", "rt")
+    val plan = Temporal.bandJoinBackward(df, rs, "lt", "rt", 120L)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("NestedLoop"), s"theta join fell back to nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on buckets:\n$plan")
+  }
+}
