@@ -34,12 +34,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cosine expression over two array<float/double> columns.
-    * Zero-norm vectors score 0.0 — same convention as the scalar
-    * Dedup.cosine; without the guard, ANSI mode turns the 0/0 into a
-    * job-killing DIVIDE_BY_ZERO the moment one bad embedding appears
-    * in the corpus. */
-  def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+  /** Exact cosine expression over two array<float/double> columns —
+    * the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression (one fused loop, no per-element lambda dispatch, no
+    * zipped-array allocation; measured 33× the HOF version on the
+    * 4M-pair scoring micro-bench, BENCH.md round 3). Zero-norm
+    * vectors score 0.0 —
+    * same convention as the scalar Dedup.cosine; without the guard,
+    * ANSI mode turns the 0/0 into a job-killing DIVIDE_BY_ZERO the
+    * moment one bad embedding appears in the corpus. */
+  def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.cosine(a, b)
+
+  /** The original higher-order-function cosine (`aggregate ∘ zip_with`)
+    * — kept as the independently-derived reference implementation the
+    * native expression is spec-checked bit-identical against, and as
+    * the micro-bench baseline. */
+  def cosineColHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val na = aggregate(a, lit(0.0d), (acc, x) => acc + x * x)
     val nb = aggregate(b, lit(0.0d), (acc, x) => acc + x * x)
