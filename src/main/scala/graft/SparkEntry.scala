@@ -427,7 +427,91 @@ object SparkEntry {
     // (watermarked append mode + sessionization state in StreamingSpec)
     "q_stream_window" -> ((s, d) =>
       graft.streaming.Streaming.hourlyEventCounts(s, s"$d/events.parquet")
-        .orderBy("hour_ts", "event_type"))
+        .orderBy("hour_ts", "event_type")),
+
+    // ---- set intersect (completes the union/except/intersect family) ----
+    "q_set_intersect" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(t(s, d, "orders").filter(col("o_totalprice") > 200000.0)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
+    // ---- pivot: status-count matrix per priority. Spark's pivot
+    // leaves NULL in empty cells where conditional aggregation gives
+    // 0 — coalesced so both shapes agree ----
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("st_f"),
+          coalesce(col("O"), lit(0L)).as("st_o"),
+          coalesce(col("P"), lit(0L)).as("st_p"))
+        .orderBy("o_orderpriority")),
+
+    // ---- unpivot/melt: wide per-priority stats back to long form ----
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          round(min(col("o_totalprice")), 2).as("min_price"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("cnt"), col("sum_price"), col("min_price")),
+          "metric", "value")
+        .orderBy("o_orderpriority", "metric")),
+
+    // ---- exact grouped percentiles: discrete (no interpolation —
+    // value-exact) and continuous (linear interpolation, rounded) ----
+    "q_agg_percentile" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p50_disc"),
+          round(expr("percentile(o_totalprice, 0.25D)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.75D)"), 4).as("p75"))
+        .orderBy("o_orderstatus")),
+
+    // ---- ordered string aggregation (the collect_list family, made
+    // deterministic by sorting before the join) ----
+    "q_agg_listagg" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_acctbal") > 9000.0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+        .orderBy("c_mktsegment")),
+
+    // ---- regexp function family ----
+    "q_regex_fns" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+            .as("novowel_len"),
+          col("text").rlike("[0-9]{2,}").as("has_multidigit"))
+        .orderBy("doc_id")),
+
+    // ---- deterministic content-hash sampling (reproducible ~1/8
+    // sample that any engine recomputes identically — the portable
+    // alternative to seed-based TABLESAMPLE) ----
+    "q_sample_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // ---- full outer join (customer side restricted so both
+    // null-extended directions actually occur) ----
+    "q_join_full" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select("c_custkey", "c_acctbal")
+      val ords = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    })
   )
 
   /** Embedding corpus with planted near-duplicates: every vec_id%10==0
@@ -1114,6 +1198,66 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |       count(*) AS cnt,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |         CAST(count(*) AS DOUBLE) AS cnt,
+        |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price,
+        |         round(min(o_totalprice), 2) AS min_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'cnt' AS metric, cnt AS value FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'sum_price', sum_price FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'min_price', min_price FROM wide
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+        |       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_listagg" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_acctbal > 9000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_regex_fns" ->
+      """SELECT doc_id,
+        |       regexp_extract(text, '[0-9]+') AS first_num,
+        |       length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+        |       regexp_matches(text, '[0-9]{2,}') AS has_multidigit
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE substring(md5(text), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 500),
+        |     o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal,
+        |       coalesce(n_orders, 0) AS n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin
   )
 }
