@@ -32,7 +32,18 @@ object Graph {
     * equi-keyed; no driver collection at any size.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+    // Pin degrees and the oriented edge list eagerly: they feed 2 and
+    // 3 consumers respectively, and Catalyst does NOT reuse the
+    // subtree across them (column pruning specializes each copy below
+    // the exchanges — measured 34 input scans / 0 ReusedExchange for
+    // this query unpinned). Without pinning, the possibly-expensive
+    // edge derivation (e.g. [[copurchaseEdges]]' self-join+distinct)
+    // executes once per consumer — certain O(edges) waste at every
+    // scale. localCheckpoint(eager) materializes once to executor
+    // blocks; same single-box-speed-vs-executor-loss tradeoff as
+    // Canonicalize/CC document — an executor loss here fails the one
+    // job, and a job retry recomputes from source.
+    val deg = degrees(edges).localCheckpoint(true)
 
     // attach endpoint degrees, orient by (degree, id)
     val withDeg = edges
@@ -45,6 +56,7 @@ object Graph {
       when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
       when(srcFirst, col("dd")).otherwise(col("sd")).as("dv"))
+      .localCheckpoint(true)
 
     // wedges centered at u: out-neighbor pairs (y ≺ z in the same order)
     val a = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
@@ -87,10 +99,15 @@ object Graph {
       iterations: Int = 10,
       checkpointEvery: Int = 4): DataFrame = {
     // both directions + out-degrees (== degree; no dangling nodes by
-    // construction on an undirected graph)
+    // construction on an undirected graph). Pinned eagerly: the loop
+    // reads both EVERY iteration, and nothing else reuses the subtree
+    // (measured 24 input scans unpinned at 10 iterations) — see the
+    // tradeoff note in [[triangleCounts]].
     val ed = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
 
     var rank = deg.select(col("id"), lit(1000000L).as("rank"))
     for (i <- 1 to iterations) {
