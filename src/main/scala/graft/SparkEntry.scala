@@ -422,6 +422,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // gap-based sessionization (batch): per-user sessions split on
+    // >12h inactivity — lag marks starts, running sum numbers them,
+    // one shuffle; the batch mirror of StreamingSpec's stateful
+    // sessionizer, value-oracle-able because the gap compares exact
+    // microseconds
+    "q_sessionize" -> ((s, d) => {
+      val sess = Temporal.sessionize(
+        t(s, d, "events").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", 43200L, "event_id")
+      sess.groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+            .as("session_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // Structured Streaming: the hourly event aggregation as a stream
     // drained via Trigger.AvailableNow — value-identical to batch SQL
     // (watermarked append mode + sessionization state in StreamingSpec)
@@ -1207,6 +1225,27 @@ object SparkEntry {
         |FROM events e
         |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                   > 43200::BIGINT * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS session_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

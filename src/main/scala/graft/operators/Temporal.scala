@@ -64,6 +64,41 @@ object Temporal {
       .drop("__side")
   }
 
+  /** Gap-based sessionization: assign each row a per-key `session_idx`
+    * (1-based) that increments whenever the gap to the key's previous
+    * row exceeds `gapSeconds` — the batch mirror of the streaming
+    * `flatMapGroupsWithState` sessionizer in [[graft.streaming.Streaming]],
+    * expressed as the classic two-window composition (lag to mark
+    * session starts, running sum to number them). ONE shuffle on the
+    * key; both windows share the same (key, time, tieBreak) sort so
+    * Catalyst plans a single exchange+sort pair. Per-key state is the
+    * window sort, not a collect — hot users cost a bigger sort
+    * partition, never a driver round-trip.
+    *
+    * The gap compares `unix_micros`, exactly — no second-truncation —
+    * so an engine mirroring the definition (e.g. DuckDB `epoch_us`)
+    * reproduces session boundaries bit-for-bit. `tieBreak` must make
+    * (key, time, tieBreak) a total order (a unique row id) or lag is
+    * nondeterministic under ties — same caveat every windowed lag
+    * carries.
+    */
+  def sessionize(events: DataFrame, key: String, time: String,
+                 gapSeconds: Long, tieBreak: String): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = Window.partitionBy(key).orderBy(col(time), col(tieBreak))
+    // cast covers TIMESTAMP_NTZ inputs (parquet NTZ columns): with the
+    // session zone pinned to UTC the cast is a metadata relabel, and
+    // unix_micros only accepts TIMESTAMP
+    val micros = unix_micros(col(time).cast("timestamp"))
+    val prev = lag(micros, 1).over(w)
+    val isNew = when(prev.isNull ||
+      micros - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .drop("__new")
+  }
+
   /** Pure (equi-key-free) backward time-band join: all (left, right)
     * pairs with `rightTime` in `[leftTime - bandSeconds, leftTime]`,
     * re-expressed as a bucketed equi-join: both sides bucket their

@@ -85,6 +85,43 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.filter(col("lid") === 9001L && col("rid") === 9002L).count() == 1)
   }
 
+  test("sessionize: exact gap boundary, ties, singleton keys") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val gap = 43200L // 12h
+    def mts(ms: Long) = new Timestamp(base + ms)
+    val rows = Seq(
+      // user 1: two close events, one at EXACTLY the gap (same session:
+      // boundary is strict >), one 1ms past the gap (new session)
+      (1L, 1L, mts(0)),
+      (2L, 1L, mts(600000L)),                       // +10 min
+      (3L, 1L, mts(600000L + gap * 1000L)),          // exactly gap after e2
+      (4L, 1L, mts(600000L + 2 * gap * 1000L + 1L)), // gap + 1ms after e3
+      // user 2: singleton
+      (5L, 2L, mts(0)),
+      // user 3: tie on ts — event_id breaks it; same session either way
+      (6L, 3L, mts(1000L)),
+      (7L, 3L, mts(1000L))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Temporal.sessionize(rows, "user_id", "ts", gap, "event_id")
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("sessionize plans ONE exchange: lag and running sum share the sort") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements, which only runs for the executed plan
+    val plan = Temporal.sessionize(df, "user_id", "ts", 60L, "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected a single shuffle, got $exchanges:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort ")) == 1,
+      s"expected the two windows to share one sort:\n$plan")
+  }
+
   test("bandJoin plan is a hash join on buckets, not BroadcastNestedLoopJoin") {
     import spark.implicits._
     val df = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("lid", "lt")
