@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators._
+import graft.sources.Bucketed
 
 /** Driver contract (SURVEY.md §7 + builder prompt).
   *
@@ -529,6 +530,37 @@ object SparkEntry {
         .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_acctbal"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy("custkey")
+    }),
+
+    // ---- bucketed co-located join: pay the shuffle ONCE at write
+    // time (bucketBy on the join key), then join with ZERO exchanges —
+    // the layout move for repeated fact↔fact joins at 100 TB. The
+    // timed region honestly includes the one-time bucketed write.
+    // Auto-broadcast is pinned off during execution (else the tiny SF
+    // sides broadcast and the planner rightly skips the bucketed
+    // scan); eager localCheckpoint executes under the pinned confs so
+    // the session's settings are restored before returning. ----
+    "q_join_bucketed" -> ((s, d) => {
+      val savedBt = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedAq =
+        s.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", savedBt)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        Bucketed.coLocatedJoin(s,
+            t(s, d, "orders").select("o_custkey", "o_totalprice"),
+            t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+            "o_custkey", "c_custkey", 8, "/tmp/graft_bucketed_q",
+            "graft_bkt_orders", "graft_bkt_customer")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBt)
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAq)
+      }
     }),
 
     // ---- graph analytics over the part co-purchase graph (115k
@@ -1312,6 +1344,13 @@ object SparkEntry {
         |       coalesce(n_orders, 0) AS n_orders
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH e AS (

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Bucketed
+
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("coLocatedJoin == plain join, and plans ZERO exchanges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bkt").toString
+    val left = (1L to 200L).map(i => (i % 50, i, s"l$i"))
+      .toDF("k", "lid", "lpay")
+    val right = (1L to 120L).map(i => (i % 60, i, s"r$i"))
+      .toDF("rk", "rid", "rpay")
+
+    // the fixture is tiny, so the planner would broadcast (and then
+    // rightly skip the bucketed scan); force the sort-merge path the
+    // layout is FOR — at real scale neither side is broadcastable
+    val savedBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAq = spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", savedBt)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Bucketed.coLocatedJoin(
+        spark, left, right, "k", "rk", 4, dir, "bkt_spec_l", "bkt_spec_r")
+      val plain = left.join(right, col("k") === col("rk"))
+
+      // value identity vs the shuffled join
+      val b = bucketed.select("lid", "rid").as[(Long, Long)].collect().toSet
+      val p = plain.select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(b == p && b.nonEmpty)
+
+      // the whole point: both scans expose HashPartitioning(key, 4), so
+      // EnsureRequirements inserts NO shuffle — per-bucket join only
+      val bucketedPlan = bucketed.queryExecution.executedPlan.toString
+      assert(!bucketedPlan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$bucketedPlan")
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      assert(plainPlan.contains("Exchange"),
+        "control: the non-bucketed join should need a shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBt)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAq)
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_l")
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_r")
+    }
+  }
+}
