@@ -15,5 +15,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.CosineSimilarity.descriptor)
+    ext.injectFunction(graft.functions.GraftBandJoin.descriptor)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

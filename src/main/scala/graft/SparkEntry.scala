@@ -407,6 +407,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // same band-join semantics driven through the OPTIMIZER-RULE path:
+    // the join is written as a plain theta join on the graft_band_join
+    // marker predicate, and plans.BandJoinRewrite (registered on the
+    // driver's session here) re-plans it from BNLJ to the bucketed
+    // equi-join — the rule's output is value-oracled against DuckDB's
+    // own theta join (inner semantics, so only purchases with >=1
+    // in-band click appear)
+    "q_join_band_rule" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("click_ts"))
+      purchases.join(clicks,
+          graft.functions.bandJoin(col("ts"), col("click_ts"), 120L))
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
     // backward as-of join: each event picks up the user's latest order
     // at or before the event time (right side pre-deduped per
     // (custkey, orderdate) for tie determinism — same caveat DuckDB's
@@ -1245,6 +1267,15 @@ object SparkEntry {
       """SELECT a.event_id, count(b.event_id) AS n_clicks
         |FROM events a
         |LEFT JOIN events b
+        |  ON b.event_type = 'click'
+        | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
+        |WHERE a.event_type = 'purchase'
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    "q_join_band_rule" ->
+      """SELECT a.event_id, count(*) AS n_clicks
+        |FROM events a
+        |JOIN events b
         |  ON b.event_type = 'click'
         | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
         |WHERE a.event_type = 'purchase'

@@ -10,4 +10,14 @@ package object functions {
     * the codegen'd [[CosineSimilarity]] expression. */
   def cosine(a: Column, b: Column): Column =
     bridge.column(CosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  /** Backward time-band join predicate: true iff `rightTime` lies in
+    * `[leftTime - bandSeconds, leftTime]`. Write the join as
+    * `l.join(r, bandJoin(l("ts"), r("ts2"), 120))` — correct on any
+    * session; with [[graft.plans.BandJoinRewrite]] registered the join
+    * is re-planned from BNLJ to the linear bucketed equi-join. */
+  def bandJoin(leftTime: Column, rightTime: Column, bandSeconds: Long): Column =
+    bridge.column(GraftBandJoin(bridge.expression(leftTime),
+      bridge.expression(rightTime),
+      org.apache.spark.sql.catalyst.expressions.Literal(bandSeconds)))
 }
