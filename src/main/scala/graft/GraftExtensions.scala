@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.CosineSimilarity.descriptor)
     ext.injectFunction(graft.functions.GraftBandJoin.descriptor)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -407,6 +407,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // top-k per group through the custom PHYSICAL operator (logical
+    // node + planner strategy + two-phase SparkPlan): per-partition
+    // bounded heaps before the exchange, so only <= maps x groups x k
+    // rows shuffle instead of the whole table — value-oracled against
+    // the window row_number() SQL that defines the semantics
+    "q_topk_native" -> ((s, d) =>
+      graft.plans.TopK.perGroup(
+          t(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 5)
+        .orderBy("o_orderpriority", "o_orderkey")),
+
     // same band-join semantics driven through the OPTIMIZER-RULE path:
     // the join is written as a plain theta join on the graft_band_join
     // marker predicate, and plans.BandJoinRewrite (registered on the
@@ -1271,6 +1283,15 @@ object SparkEntry {
         | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
         |WHERE a.event_type = 'purchase'
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_join_band_rule" ->
       """SELECT a.event_id, count(*) AS n_clicks
