@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.CosineSimilarity.descriptor)
     ext.injectFunction(graft.functions.GraftBandJoin.descriptor)
+    ext.injectFunction(graft.functions.FreqItemsSketch.descriptor)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -330,6 +330,14 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id")),
 
+    // corpus-wide frequent terms through the native Misra-Gries
+    // aggregate (graft_freq_items, k=64 counters) + exact recount of
+    // the <=64 candidates — the MG superset guarantee (3% >= 1/65)
+    // makes the filtered result EXACT, so DuckDB's full GROUP BY /
+    // HAVING is a value oracle for the sketch-then-verify plan
+    "q_text_freqterms" -> ((s, d) =>
+      TextAnalysis.frequentTerms(t(s, d, "documents"), k = 64, pctTimes100 = 300)),
+
     // ---- multimodal plumbing (deterministic stub codec — see
     //      graft.operators.Multimodal) ----
     "q_mm_meta" -> ((s, d) =>
@@ -1200,6 +1208,20 @@ object SparkEntry {
         |ORDER BY b.doc_id""".stripMargin,
 
     "q_text_fingerprint" -> fingerprintOracleSql,
+
+    // exact by the MG superset guarantee: candidates ⊇ every >=3%
+    // token, recount is exact, so the full GROUP BY / HAVING answer
+    // matches value-for-value (integer-exact threshold arithmetic)
+    "q_text_freqterms" ->
+      """WITH w AS (SELECT t.w AS word
+        |           FROM documents, unnest(string_split_regex(text, '\s+')) AS t(w)
+        |           WHERE t.w <> ''),
+        |tot AS (SELECT count(*) AS n FROM w)
+        |SELECT word, count(*) AS cnt
+        |FROM w, tot
+        |GROUP BY word, tot.n
+        |HAVING count(*) * 10000 >= 300 * tot.n
+        |ORDER BY word""".stripMargin,
 
     // Multimodal.synthesize derives every header field from doc_id
     // alone (the payload byte stream is the only sequential part, and

@@ -20,4 +20,11 @@ package object functions {
     bridge.column(GraftBandJoin(bridge.expression(leftTime),
       bridge.expression(rightTime),
       org.apache.spark.sql.catalyst.expressions.Literal(bandSeconds)))
+
+  /** Misra-Gries frequent-items sketch aggregate over a string column:
+    * ≤ k candidate items as a sorted array, guaranteed to contain
+    * every item with frequency > n/(k+1). Candidates only — exact-
+    * recount downstream (see TextAnalysis.frequentTerms). */
+  def freqItems(c: Column, k: Int): Column =
+    bridge.column(FreqItemsSketch(bridge.expression(c), k).toAggregateExpression())
 }

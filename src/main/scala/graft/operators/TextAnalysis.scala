@@ -110,4 +110,46 @@ object TextAnalysis {
       .map { case (id, t) => (id, TextStats.fingerprint(t), TextStats.winnow(t).length) }
       .toDF("doc_id", "fingerprint", "sketch_size")
   }
+
+  /** Corpus-wide frequent terms, EXACTLY: every whitespace token whose
+    * count clears `pctTimes100`/100 percent of all tokens, with its
+    * exact count. Two narrow passes, no full-vocabulary shuffle:
+    *
+    *   1. ONE aggregation computes the Misra-Gries candidate set
+    *      ([[graft.functions.freqItems]], O(k) state per partial
+    *      buffer, map-side combined) AND the total token count — the
+    *      only driver materialization is ≤ k strings + one long;
+    *   2. exact recount of candidates only: broadcast the candidate
+    *      list, semi-join the token stream, groupBy over ≤ k keys,
+    *      integer-exact threshold filter (`100·cnt ≥ pct·n` — no
+    *      floating point).
+    *
+    * Result EQUALS the full `groupBy(token) HAVING` answer whenever
+    * `pctTimes100/100 ≥ 1/(k+1)` percent (the MG superset guarantee;
+    * enforced), while a direct groupBy at corpus scale would shuffle
+    * and materialize the entire (unbounded) vocabulary to answer a
+    * question about the top handful.
+    */
+  def frequentTerms(docs: DataFrame, k: Int, pctTimes100: Int): DataFrame = {
+    require(pctTimes100 >= 1 && pctTimes100 <= 10000, "pct must be in (0, 100]")
+    // guarantee precondition: threshold fraction >= 1/(k+1)
+    require(pctTimes100.toLong * (k + 1) >= 10000L,
+      s"k=$k too small for a ${pctTimes100 / 100.0}% threshold: need k+1 >= ${10000 / pctTimes100}")
+    val words = docs
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val row = words
+      .agg(graft.functions.freqItems(col("word"), k).as("cand"),
+        count(lit(1)).as("n"))
+      .head()
+    val n = row.getLong(1)
+    val cands = row.getSeq[String](0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val candDf = cands.toDF("word")
+    words.join(broadcast(candDf), "word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10000L >= lit(pctTimes100.toLong * n))
+      .orderBy("word")
+  }
 }
