@@ -582,13 +582,8 @@ object SparkEntry {
     // sides broadcast and the planner rightly skips the bucketed
     // scan); eager localCheckpoint executes under the pinned confs so
     // the session's settings are restored before returning. ----
-    "q_join_bucketed" -> ((s, d) => {
-      val savedBt = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val savedAq =
-        s.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", savedBt)
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      try {
+    "q_join_bucketed" -> ((s, d) =>
+      Bucketed.withBroadcastOff(s) {
         Bucketed.coLocatedJoin(s,
             t(s, d, "orders").select("o_custkey", "o_totalprice"),
             t(s, d, "customer").select("c_custkey", "c_mktsegment"),
@@ -599,11 +594,7 @@ object SparkEntry {
             dsum(col("o_totalprice")).as("sum_price"))
           .orderBy("c_mktsegment")
           .localCheckpoint(true)
-      } finally {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBt)
-        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAq)
-      }
-    }),
+      }),
 
     // ---- graph analytics over the part co-purchase graph (115k
     // edges / 414k triangles at sf0.01 — dense enough that degree

@@ -45,23 +45,31 @@ object Temporal {
                        rightPayload: Seq[String]): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val leftCols = left.columns.toSeq
-    val payload = rightPayload.map(c => s"__p_$c")
+    // ONE struct carries the whole payload so inheritance is row-atomic:
+    // a per-column `last(ignoreNulls)` would let a legitimately-NULL
+    // payload value fall through to an OLDER right row, stitching
+    // together a right row that never existed. The struct is non-null
+    // on every right row (even all-null fields), null only on the
+    // interleaved left rows, so ignoreNulls skips exactly those.
+    val pType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c)))
     val r = right.select(
-      (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        rightPayload.map(c => col(c).as(s"__p_$c"))) ++
+      (col(rightKey).as("__k") :: col(rightTime).as("__t") ::
+        lit(0).as("__side") :: struct(rightPayload.map(col): _*).as("__p") :: Nil) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
-      (col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c"))) ++
+      (col(leftKey).as("__k") :: col(leftTime).as("__t") ::
+        lit(1).as("__side") :: lit(null).cast(pType).as("__p") :: Nil) ++
         leftCols.map(col): _*)
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
-      .select(col("__side") +: leftCols.map(col) ++:
-        payload.zip(rightPayload).map { case (p, c) =>
-          last(col(p), ignoreNulls = true).over(w).as(c) }: _*)
+      .select(col("__side") +:
+        last(col("__p"), ignoreNulls = true).over(w).as("__pp") +:
+        leftCols.map(col): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("__pp").getField(c).as(c)): _*)
   }
 
   /** Gap-based sessionization: assign each row a per-key `session_idx`

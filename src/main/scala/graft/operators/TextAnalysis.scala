@@ -132,9 +132,12 @@ object TextAnalysis {
     */
   def frequentTerms(docs: DataFrame, k: Int, pctTimes100: Int): DataFrame = {
     require(pctTimes100 >= 1 && pctTimes100 <= 10000, "pct must be in (0, 100]")
-    // guarantee precondition: threshold fraction >= 1/(k+1)
-    require(pctTimes100.toLong * (k + 1) >= 10000L,
-      s"k=$k too small for a ${pctTimes100 / 100.0}% threshold: need k+1 >= ${10000 / pctTimes100}")
+    // guarantee precondition, STRICT: MG only guarantees items with
+    // f > n/(k+1); the final filter is >=, so at exact equality
+    // (pct·(k+1) == 10000) a term with count exactly pct·n/10000 could
+    // be evicted from the sketch yet belong in the exact answer
+    require(pctTimes100.toLong * (k + 1) > 10000L,
+      s"k=$k too small for a ${pctTimes100 / 100.0}% threshold: need k+1 > ${10000 / pctTimes100}")
     val words = docs
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word") =!= "")

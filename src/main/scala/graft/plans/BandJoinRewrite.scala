@@ -38,7 +38,11 @@ import org.apache.spark.sql.types.LongType
 object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner, Some(cond), _) =>
+    // JoinHint.NONE only: an explicit user hint (/*+ MERGE */ etc.)
+    // names a strategy for THIS join; the rewrite replaces it with a
+    // structurally different join the hint can't transfer to, so the
+    // user's override wins and the marker just evaluates generically
+    case j @ Join(l, r, Inner, Some(cond), JoinHint.NONE) =>
       val conjuncts = splitConjunctivePredicates(cond)
       conjuncts.collectFirst {
         case m: GraftBandJoin

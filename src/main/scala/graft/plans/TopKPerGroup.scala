@@ -144,9 +144,16 @@ object TopK {
     register(spark)
     val plan = bridge.analyzed(df)
     val out = plan.output
-    def byName(name: String): Attribute =
-      out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"column $name not in ${out.map(_.name).mkString(", ")}"))
+    // resolve with the session's resolver (case-insensitive unless
+    // spark.sql.caseSensitive) — same inputs groupBy/window accept
+    val resolver = spark.sessionState.conf.resolver
+    def byName(name: String): Attribute = {
+      val hits = out.filter(a => resolver(a.name, name))
+      if (hits.size != 1) throw new IllegalArgumentException(
+        s"column $name ${if (hits.isEmpty) "not in" else "ambiguous in"} " +
+          out.map(_.name).mkString(", "))
+      hits.head
+    }
     val groups = groupCols.map(byName)
     val order = orderCols.map { c =>
       // convertedExpression, not expression: the lazy ColumnNodeExpression

@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketed {
 
+  /** Run `body` with auto-broadcast pinned off (both the static and
+    * the AQE threshold), restoring each conf's EXACT prior state —
+    * set values re-set, previously-unset keys unset again. The unset
+    * distinction matters for `spark.sql.adaptive.autoBroadcastJoinThreshold`:
+    * while unset it dynamically falls back to
+    * `spark.sql.autoBroadcastJoinThreshold`, and writing its effective
+    * value back as an explicit setting would freeze that link for the
+    * rest of the session. `body` must fully EXECUTE any plan that needs
+    * the pinned confs (collect/localCheckpoint) before returning —
+    * lazy plans optimized later see the restored settings. */
+  def withBroadcastOff[A](spark: SparkSession)(body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map { k =>
+      k -> (if (spark.sessionState.conf.contains(k)) Some(spark.conf.get(k))
+            else None)
+    }
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Write `df` as a bucketed+sorted external parquet table named
     * `name` at `dir/name`, replacing any prior registration. */
   def writeBucketed(spark: SparkSession, df: DataFrame, key: String,

@@ -104,7 +104,16 @@ object Streaming {
             ts.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1))
+                  // envelope update (min/max), NOT last := t: a late
+                  // but within-watermark event from a later batch can
+                  // arrive with t < s.last, and regressing `last`
+                  // would both shrink the reported session end and
+                  // make the NEXT gap check measure from the stale
+                  // early point (splitting a session that the
+                  // gap-from-true-last semantics keeps open); it could
+                  // also set a timeout at/below the watermark
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -21,12 +21,7 @@ class BucketingSpec extends AnyFunSuite {
     // the fixture is tiny, so the planner would broadcast (and then
     // rightly skip the bucketed scan); force the sort-merge path the
     // layout is FOR — at real scale neither side is broadcastable
-    val savedBt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val savedAq = spark.conf
-      .get("spark.sql.adaptive.autoBroadcastJoinThreshold", savedBt)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
+    try Bucketed.withBroadcastOff(spark) {
       val bucketed = Bucketed.coLocatedJoin(
         spark, left, right, "k", "rk", 4, dir, "bkt_spec_l", "bkt_spec_r")
       val plain = left.join(right, col("k") === col("rk"))
@@ -45,10 +40,23 @@ class BucketingSpec extends AnyFunSuite {
       assert(plainPlan.contains("Exchange"),
         "control: the non-bucketed join should need a shuffle")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBt)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAq)
       spark.sql("DROP TABLE IF EXISTS bkt_spec_l")
       spark.sql("DROP TABLE IF EXISTS bkt_spec_r")
     }
+  }
+
+  test("withBroadcastOff restores set-vs-unset state exactly") {
+    val aq = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val bt = "spark.sql.autoBroadcastJoinThreshold"
+    spark.conf.unset(aq)
+    val btBefore = spark.conf.get(bt)
+    Bucketed.withBroadcastOff(spark) {
+      assert(spark.conf.get(bt) == "-1" && spark.conf.get(aq) == "-1")
+    }
+    // aq must be UNSET again, not re-pinned to an effective value: the
+    // AQE planner falls back to bt only while aq is absent, so writing
+    // anything back would freeze that link for the session
+    assert(!spark.sessionState.conf.contains(aq))
+    assert(spark.conf.get(bt) == btBefore)
   }
 }

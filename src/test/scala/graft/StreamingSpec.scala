@@ -101,4 +101,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(nine == Set((1000000L, 1)), s"in-batch gap split: $nine")
     } finally q.stop()
   }
+
+  test("sessionize: a late within-watermark event must not regress the session end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Streaming.SessionEvent]
+    val q = Streaming.sessionize(source.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess_late_test")
+      .outputMode(OutputMode.Append()).start()
+    def t0 = ts("2024-02-01 10:00:00").getTime
+    try {
+      // batch 1: event at +100s → state last=100s, watermark → 40s
+      source.addData(Streaming.SessionEvent(7L, new Timestamp(t0 + 100000L)))
+      q.processAllAvailable()
+      // batch 2: LATE event at +70s (above the 40s watermark, so it is
+      // processed). last must stay max(100,70)=100s, not regress to 70s
+      source.addData(Streaming.SessionEvent(7L, new Timestamp(t0 + 70000L)))
+      q.processAllAvailable()
+      // batch 3: +135s — 35s after the TRUE last (100s): same session.
+      // (With the regression bug, 135-70=65s > gap splits it.)
+      source.addData(Streaming.SessionEvent(7L, new Timestamp(t0 + 135000L)))
+      q.processAllAvailable()
+      // burst far ahead: closes the open session via gap split + lets
+      // the watermark pass its timeout
+      source.addData(Streaming.SessionEvent(7L, new Timestamp(t0 + 600000L)))
+      q.processAllAvailable()
+      source.addData(Streaming.SessionEvent(8L, new Timestamp(t0 + 1200000L)))
+      q.processAllAvailable()
+      val got = spark.table("sess_late_test").as[Streaming.SessionOut].collect()
+        .filter(_.user_id == 7L)
+        .map(s => (s.start_ts - t0, s.end_ts - t0, s.n_events)).toSet
+      assert(got.contains((70000L, 135000L, 3)),
+        s"late event split or regressed the session: $got")
+    } finally q.stop()
+  }
 }

@@ -55,6 +55,23 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.select("payload").as[Long].head() == 42L)
   }
 
+  test("asof: payload inheritance is row-atomic — a NULL field must NOT fall through to an older right row") {
+    import spark.implicits._
+    // right at t=1 has (a=10, b=20); right at t=2 has (a=30, b=NULL).
+    // A left row at t=3 must inherit EXACTLY the t=2 row: (30, NULL) —
+    // a per-column last(ignoreNulls) would stitch (30, 20), a right
+    // row that never existed
+    val r = Seq(
+      (10L, ts("2024-01-01 10:00:01"), Some(10L), Some(20L)),
+      (10L, ts("2024-01-01 10:00:02"), Some(30L), Option.empty[Long])
+    ).toDF("rk", "rt", "a", "b")
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:03"))).toDF("event_id", "k", "t")
+    val out = Temporal.asofJoinBackward(l, r, "k", "t", "rk", "rt", Seq("a", "b"))
+      .select("a", "b").head()
+    assert(out.getLong(0) == 30L && out.isNullAt(1),
+      s"expected (30, null), got $out")
+  }
+
   test("bandJoinBackward == brute-force theta join, incl. edges and fractions") {
     import spark.implicits._
     val band = 120L
