@@ -490,6 +490,15 @@ object SparkEntry {
       graft.streaming.Streaming.hourlyEventCounts(s, s"$d/events.parquet")
         .orderBy("hour_ts", "event_type")),
 
+    // Structured Streaming: incremental KG ingest — the flagship's
+    // narrow A2→A10 chain per arriving micro-batch, zero streaming
+    // state (append mode). Model-based output (Viterbi) → rows-only
+    // for the driver; StreamingSpec asserts stream == batch stages
+    // value-for-value, and the batch stages are P/R-oracled
+    "q_stream_triples" -> ((s, d) =>
+      graft.streaming.Streaming.triplesIngest(s, d)
+        .orderBy("url", "sent_idx", "subj", "pred", "obj", "rule_id")),
+
     // ---- set intersect (completes the union/except/intersect family) ----
     "q_set_intersect" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")

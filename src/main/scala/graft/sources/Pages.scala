@@ -44,6 +44,33 @@ object Pages {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang", "source").as[DocRow]
       .repartition(spark.sparkContext.defaultParallelism * 8)
+    fromDocs(docs, replicate, heavy)
+  }
+
+  /** The same synthesis over a STREAMING documents source — used by the
+    * incremental-ingest mode ([[graft.streaming.Streaming.triplesIngest]]).
+    * Identical row math (shared [[fromDocs]]), so stream and batch
+    * produce byte-identical pages for the same doc rows. */
+  def synthesizeStream(spark: SparkSession, sfDir: String, replicate: Int = 1,
+                       heavy: Int = 1): Dataset[PageRow] = {
+    import spark.implicits._
+    val tablePath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(tablePath).schema
+    // single-FILE parquet tables need the {}-glob trick (see
+    // Streaming.hourlyEventCounts) to pass FileStreamSource's
+    // basePath-must-be-a-directory check
+    val f = new java.io.File(tablePath)
+    val streamPath =
+      if (f.isFile) s"${f.getParent}/{${f.getName}}" else tablePath
+    val docs = spark.readStream.schema(schema).parquet(streamPath)
+      .select("doc_id", "text", "lang", "source").as[DocRow]
+      .repartition(spark.sparkContext.defaultParallelism * 8)
+    fromDocs(docs, replicate, heavy)
+  }
+
+  private def fromDocs(docs: Dataset[DocRow], replicate: Int,
+                       heavy: Int): Dataset[PageRow] = {
+    import docs.sparkSession.implicits._
     val expanded =
       if (replicate <= 1) docs
       else docs.flatMap { d =>

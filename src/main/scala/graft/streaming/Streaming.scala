@@ -129,4 +129,29 @@ object Streaming {
           }
       }
   }
+
+  /** Incremental KG ingest: the flagship's narrow A2→A10 chain —
+    * extract → lang filter → sentence split → Viterbi tag → BIO decode
+    * → template triples — run as a STREAM over arriving pages. Every
+    * stage is a stateless row-wise transform, so the identical
+    * [[graft.operators.Stages]] code (not a copy) executes per
+    * micro-batch in append mode with zero streaming state: raw triples
+    * land incrementally as pages arrive, and the stateful tail of the
+    * pipeline (linking, connected components, canonical rewrite) runs
+    * as the existing periodic BATCH job over the accumulated raw-triple
+    * table — the standard lambda-free split for an aggregation whose
+    * fixpoint (global entity clusters) has no bounded-state streaming
+    * form. Drained via AvailableNow for the driver; production tails a
+    * WARC drop directory and writes the TripleSink instead.
+    * StreamingSpec asserts stream output == the batch stages on the
+    * same pages, value for value. */
+  def triplesIngest(spark: SparkSession, sfDir: String,
+                    nParts: Int = 16): DataFrame = {
+    val pages = graft.sources.Pages.synthesizeStream(spark, sfDir)
+    val bcModel = spark.sparkContext.broadcast(graft.core.Fixture.model)
+    val raw = graft.operators.Stages.rawTriples(
+      graft.operators.Stages.tag(
+        graft.operators.Stages.extract(pages, nParts), bcModel))
+    drainAvailableNow(raw.toDF(), OutputMode.Append())
+  }
 }

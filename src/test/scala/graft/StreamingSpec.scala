@@ -135,4 +135,23 @@ class StreamingSpec extends AnyFunSuite {
         s"late event split or regressed the session: $got")
     } finally q.stop()
   }
+
+  test("triplesIngest (streamed A2->A10) == the batch stages, value for value") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = Streaming.triplesIngest(spark, sfDir)
+      .as[graft.operators.RawTripleRow].collect()
+    val bcModel = spark.sparkContext.broadcast(graft.core.Fixture.model)
+    val batch = graft.operators.Stages.rawTriples(
+        graft.operators.Stages.tag(
+          graft.operators.Stages.extract(
+            graft.sources.Pages.synthesize(spark, sfDir), 16), bcModel))
+      .collect()
+    assert(streamed.nonEmpty)
+    // multiset equality (duplicate triples across sentences must match
+    // in multiplicity too)
+    def ms(a: Array[graft.operators.RawTripleRow]) =
+      a.groupBy(identity).view.mapValues(_.length).toMap
+    assert(ms(streamed) == ms(batch))
+  }
 }
