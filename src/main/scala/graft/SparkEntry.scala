@@ -499,6 +499,16 @@ object SparkEntry {
       graft.streaming.Streaming.triplesIngest(s, d)
         .orderBy("url", "sent_idx", "subj", "pred", "obj", "rule_id")),
 
+    // custom DataSource V2 source: the deterministic synthetic-events
+    // generator — partition planning and column pruning implemented by
+    // the source itself (SynthSourceSpec asserts both); one splitmix64
+    // per row means the ENTIRE table has a closed-form DuckDB value
+    // oracle over range(n), so the source is verified row-for-row
+    "q_source_v2" -> ((s, d) =>
+      s.read.format("graft.sources.v2.SynthEventsSource")
+        .option("rows", 10000L).option("parts", 8).option("seed", 42L)
+        .load().orderBy("event_id")),
+
     // ---- set intersect (completes the union/except/intersect family) ----
     "q_set_intersect" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1266,6 +1276,32 @@ object SparkEntry {
         |                  ELSE width * height * (CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6 ELSE 1 END)
         |             END)::BIGINT AS n_bytes
         |FROM wh ORDER BY doc_id""".stripMargin,
+
+    // the DSv2 generator's row math, closed-form: one splitmix64 over
+    // (event_id + seed) in unsigned HUGEINT (same 6-stage chain as the
+    // sketch oracles), then the modular column derivations
+    "q_source_v2" ->
+      """WITH ids AS (SELECT range AS event_id FROM range(10000)),
+        |s0 AS (SELECT event_id, (event_id + 42)::HUGEINT AS x FROM ids),
+        |s1 AS (SELECT event_id, (x + 11400714819323198485) % 18446744073709551616 AS x FROM s0),
+        |s2 AS (SELECT event_id, xor(x, x // 1073741824) AS x FROM s1),
+        |s3 AS (SELECT event_id,
+        |              ((x % 4294967296) * 13787848793156543929
+        |               + (((x // 4294967296) * 484763065) % 4294967296) * 4294967296
+        |              ) % 18446744073709551616 AS x FROM s2),
+        |s4 AS (SELECT event_id, xor(x, x // 134217728) AS x FROM s3),
+        |s5 AS (SELECT event_id,
+        |              ((x % 4294967296) * 10723151780598845931
+        |               + (((x // 4294967296) * 321982955) % 4294967296) * 4294967296
+        |              ) % 18446744073709551616 AS x FROM s4),
+        |h AS (SELECT event_id, xor(x, x // 2147483648) AS x FROM s5)
+        |SELECT event_id,
+        |       (x % 1000)::BIGINT AS user_id,
+        |       CASE (x // 1000) % 4 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+        |            WHEN 2 THEN 'purchase' ELSE 'refund' END AS event_type,
+        |       make_timestamp(((1704067200 + (x // 4000) % 2592000) * 1000000)::BIGINT) AS ts,
+        |       (x % 1000000)::BIGINT / 100.0 AS value
+        |FROM h ORDER BY event_id""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
