@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,28 +87,64 @@ final class SynthEventsTable extends Table with SupportsRead {
 }
 
 final class SynthScanBuilder(rows: Long, parts: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SynthEvents.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = SynthScan(rows, parts, seed, required)
+
+  /** Range predicates on `event_id` narrow the generated [lo, hi)
+    * window — PARTITION PRUNING for a generator source: pruned ids are
+    * never produced, so whole input partitions disappear from the
+    * plan. Conservatively, NOTHING is reported as source-evaluated
+    * (pushedFilters = empty ⇒ Spark re-applies every predicate after
+    * the scan), so correctness never depends on the pruning math —
+    * pushdown here only removes work, exactly like parquet row-group
+    * pruning under a retained filter. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo("event_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("event_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1)
+      case _ => // not range-expressible: generate, let Spark filter
+    }
+    filters // all residual: Spark re-evaluates everything post-scan
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    SynthScan(rows, parts, seed, required, lo, math.max(lo, hi))
 }
 
 final case class SynthRange(start: Long, end: Long, seed: Long)
     extends InputPartition
 
 final case class SynthScan(rows: Long, parts: Int, seed: Long,
-                           required: StructType) extends Scan with Batch {
+                           required: StructType,
+                           lo: Long = 0L, hi: Long = -1L) extends Scan with Batch {
   require(rows >= 0 && parts >= 1, "rows >= 0, parts >= 1")
+  private val hiEff = if (hi < 0) rows else hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-synth-events rows=$rows parts=$parts ReadSchema: ${required.simpleString}"
+    s"graft-synth-events rows=$rows parts=$parts range=[$lo,$hiEff) " +
+      s"ReadSchema: ${required.simpleString}"
 
+  /** `parts` splits over the FULL [0, rows) id space, then clipped to
+    * the pushed [lo, hi) window — empty splits are dropped, so a
+    * selective event_id range plans fewer partitions (spec-asserted). */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + parts - 1) / parts)
     (0L until rows by per)
-      .map(s => SynthRange(s, math.min(s + per, rows), seed): InputPartition)
+      .map(s => SynthRange(math.max(s, lo), math.min(math.min(s + per, rows), hiEff), seed))
+      .filter(r => r.start < r.end)
+      .map(r => r: InputPartition)
       .toArray
   }
 
