@@ -150,4 +150,66 @@ class PropertySpec extends AnyFunSuite {
       base == again && endpointsAgree && minLabel
     }, cases = 15)
   }
+
+  // ---- band-join rewrite: the two-bucket coverage obligation ----
+
+  test("property: every in-band (lt, rt) pair lands in a probed bucket {b(lt), b(lt)-1}") {
+    // the rewrite's completeness rests on: rt ∈ [lt - W, lt] ⇒
+    // bucket(rt) ∈ {bucket(lt), bucket(lt)-1} under TRUNCATING division
+    // (GraftBandBucket). Adversarial micros: any sign, near 0, near ±W
+    // multiples, far range — the exact corners where trunc ≠ floor.
+    val genMicros = Gen.oneOf(
+      Gen.choose(-5000L, 5000L),
+      Gen.choose(-3L, 3L).map(_ * 86400000000L),
+      Gen.choose(Long.MinValue / 4, Long.MaxValue / 4))
+    val gen = for {
+      lt <- genMicros
+      w <- Gen.oneOf(Gen.choose(1L, 100L), Gen.choose(1L, 7200L).map(_ * 1000000L))
+      off <- Gen.choose(0L, w) // rt = lt - off ∈ [lt - w, lt]
+    } yield (lt, lt - off, w)
+    check(Prop.forAll(gen) { case (lt, rt, w) =>
+      val bl = lt / w
+      val br = rt / w
+      br == bl || br == bl - 1
+    }, cases = 2000)
+  }
+
+  // ---- Misra-Gries sketch: the n/(k+1) superset guarantee ----
+
+  test("property: MG keeps every item with freq > n/(k+1) under any merge tree") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = for {
+      k <- Gen.choose(2, 12)
+      n <- Gen.choose(1, 400)
+      vocab <- Gen.choose(1, 60)
+      words <- Gen.listOfN(n, Gen.choose(0, vocab - 1).map(i => s"w$i"))
+      nSplits <- Gen.choose(1, 6)
+      splits <- Gen.listOfN(n, Gen.choose(0, nSplits - 1))
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (k, words, splits, seed)
+    check(Prop.forAll(gen) { case (k, words, splits, seed) =>
+      val agg = graft.functions.FreqItemsSketch(
+        BoundReference(0, StringType, nullable = true), k)
+      // partition the stream, update per-partition buffers
+      val bufs = words.zip(splits).groupBy(_._2).values.map { part =>
+        part.map(_._1).foldLeft(agg.createAggregationBuffer()) { (b, w) =>
+          agg.update(b, InternalRow(UTF8String.fromString(w)))
+        }
+      }.toVector
+      // random-order merge tree, with a serialize/deserialize round
+      // trip on each buffer first (the shuffle path)
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(bufs).map(b => agg.deserialize(agg.serialize(b)))
+      val merged = shuffled.reduce(agg.merge)
+      val out = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.toString).toSet
+      val exact = words.groupBy(identity).view.mapValues(_.size)
+      val guaranteed = exact.filter(_._2 * (k + 1) > words.size).keys.toSet
+      out.size <= k && guaranteed.subsetOf(out)
+    }, cases = 300)
+  }
 }
