@@ -304,6 +304,18 @@ object SparkEntry {
           queryIds = 0L until 10L, k = 5, planes = 6, probes = 4)
         .orderBy("query_id", "rk")),
 
+    // IVF ANN: k-means coarse quantizer (deterministic-seeded Lloyd,
+    // one narrow pass per iteration, corpus never shuffles) + probed-
+    // list exact search. Rows-only: centroids are float-sum-order
+    // sensitive, so no closed-form SQL mirror exists — SimilaritySpec
+    // pins nprobe==nlist EXACTLY equal to the DuckDB-oracled brute
+    // path and measures recall at the nprobe=4/16 scale config
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(
+          t(s, d, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+          queryIds = 0L until 10L, k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rk")),
+
     // ---- text analysis ----
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.quality(t(s, d, "documents")).orderBy("doc_id")),

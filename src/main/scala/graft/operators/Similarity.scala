@@ -190,4 +190,135 @@ object Similarity {
         round(cosineCol(col("qv"), col("v")), 4).as("cos"))
     topK(scored, k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF: k-means coarse quantizer + probed-list exact search — the
+  // OTHER standard ANN scale path (complements lshTopK's hyperplane
+  // buckets with data-ADAPTIVE cells; wins when the corpus is
+  // clustered rather than isotropic)
+  // ------------------------------------------------------------------
+
+  private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i)
+      nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** argmax-cosine cluster of `v` among `cents` (ties → lowest id). */
+  private def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestCos = Double.NegativeInfinity; var c = 0
+    while (c < cents.length) {
+      val s = cosineArr(cents(c), v)
+      if (s > bestCos) { bestCos = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic-seeded Lloyd k-means over the embedding column,
+    * cosine assignment — built from the primitives that scale:
+    *
+    *   - init: the k rows ranked first by `xxhash64(vec_id, seed)` — a
+    *     deterministic spread sample, one TakeOrdered, no collect of
+    *     anything corpus-sized;
+    *   - each iteration is ONE narrow pass: mapPartitions accumulates
+    *     per-partition (cluster, dim-sum, count) partials — k·dim
+    *     doubles of state per task, the same map-side-combine shape as
+    *     a partial HashAggregate — and only parts×k tiny rows reach the
+    *     driver for the final reduce. The corpus is never shuffled.
+    *
+    * Centroid doubles depend on partition summation order (floating
+    * sums are not associative) — callers needing bit-stable results
+    * fix the input partitioning; IVF recall is insensitive to these
+    * last-bit differences (SimilaritySpec measures it).
+    */
+  def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int,
+                      seed: Long): Array[Array[Double]] = {
+    require(nlist >= 1 && iters >= 0, "nlist >= 1, iters >= 0")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(nlist)
+      .select("embedding").as[Array[Double]].collect()
+    val data = emb.select("embedding").as[Array[Double]]
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = data.mapPartitions { it =>
+        val cs = bc.value
+        val dim = if (cs.isEmpty) 0 else cs(0).length
+        val sums = Array.ofDim[Double](cs.length, dim)
+        val counts = new Array[Long](cs.length)
+        it.foreach { v =>
+          val c = nearest(cs, v)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        (0 until cs.length).iterator
+          .filter(counts(_) > 0)
+          .map(c => (c, sums(c), counts(c)))
+      }.collect()
+      val byCluster = partials.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCluster.get(c) match {
+          case Some(ps) =>
+            val n = ps.map(_._3).sum
+            val dim = old.length
+            val s = new Array[Double](dim)
+            ps.foreach { case (_, ds, _) =>
+              var i = 0; while (i < dim) { s(i) += ds(i); i += 1 } }
+            val out = new Array[Double](dim)
+            var i = 0; while (i < dim) { out(i) = s(i) / n; i += 1 }
+            out
+          case None => old // empty cell keeps its centroid
+        }
+      }
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** IVF top-k: corpus rows live in their nearest-centroid list (one
+    * narrow assignment pass, corpus never shuffles); each query probes
+    * its `nprobe` best lists; exact cosine inside the probed lists;
+    * the same two-level bounded-heap top-k as the brute/LSH paths.
+    * Scored row count ≈ |corpus|·nprobe/nlist per query instead of
+    * |corpus| — recall governed by nprobe. `nprobe = nlist` degenerates
+    * to exact brute force (every pair scored exactly once, since each
+    * corpus row is in exactly one list) — spec-asserted equal to
+    * [[bruteForceTopK]], which is the DuckDB-oracled baseline. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 5, seed: Long = 7L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "1 <= nprobe <= nlist")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(emb, nlist, iters, seed)
+    val bc = spark.sparkContext.broadcast(cents)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (nearest(cs, v), id, v) }
+      }
+      .toDF("list_id", "vec_id", "v")
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        (0 until cs.length).sortBy(c => (-cosineArr(cs(c), v), c))
+          .take(nprobe).map(c => (id, c, v))
+      }
+      .toDF("query_id", "list_id", "qv")
+    val scored = corpus.join(broadcast(queries), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineCol(col("qv"), col("v")), 4).as("cos"))
+    topK(scored, k)
+  }
 }

@@ -177,6 +177,35 @@ class SimilaritySpec extends AnyFunSuite {
       f"margin probing ($rMargin%.3f) must not lose to unconditional bit flips ($rBitflip%.3f)")
   }
 
+  test("ivf with nprobe == nlist degenerates to EXACT brute force") {
+    // each corpus row lives in exactly one list, so probing every list
+    // scores every pair exactly once — identical to the brute path for
+    // ANY centroids (robust to float-sum partition order in k-means)
+    val brute = Similarity.bruteForceTopK(emb, 0L until 10L, 5)
+    val ivf = Similarity.ivfTopK(emb, 0L until 10L, 5, nlist = 8, nprobe = 8, iters = 3)
+    assert(ivf.exceptAll(brute).isEmpty && brute.exceptAll(ivf).isEmpty)
+  }
+
+  test("ivf recall@5 beats its scanned-fraction baseline at nprobe/nlist = 1/4") {
+    val qs = 0L until 50L
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, qs, 5, nlist = 16, nprobe = 4, iters = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (scanned fraction ~0.25 of 16 lists)")
+    assert(recall >= 0.3, f"recall $recall%.2f should beat the ~0.25 scan fraction")
+  }
+
+  test("kmeans: nlist centroids, deterministic init, every vector assignable") {
+    val c1 = Similarity.kmeansCentroids(emb, 8, 0, seed = 7L)
+    val c2 = Similarity.kmeansCentroids(emb, 8, 0, seed = 7L)
+    assert(c1.length == 8 && c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "iters=0 init must be deterministic")
+    val cIter = Similarity.kmeansCentroids(emb, 8, 4, seed = 7L)
+    assert(cIter.length == 8 && cIter.forall(_.length == c1.head.length))
+  }
+
   test("cosineCol matches scalar cosine") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
     val got = df.select(Similarity.cosineCol(col("a"), col("b"))).head().getDouble(0)
