@@ -319,6 +319,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosineCol(col("qv"), col("v")), 4).as("cos"))
-    topK(scored, k)
+    // materialize the tiny (<= k * |queries| rows) result eagerly so
+    // the centroid broadcast can be destroyed — a lazy return would
+    // leak one broadcast per call for the session's lifetime
+    val out = topK(scored, k).localCheckpoint(true)
+    bc.destroy()
+    out
   }
 }

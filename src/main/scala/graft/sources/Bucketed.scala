@@ -31,14 +31,22 @@ object Bucketed {
     * rest of the session. `body` must fully EXECUTE any plan that needs
     * the pinned confs (collect/localCheckpoint) before returning —
     * lazy plans optimized later see the restored settings. */
-  def withBroadcastOff[A](spark: SparkSession)(body: => A): A = {
-    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    val saved = keys.map { k =>
+  def withBroadcastOff[A](spark: SparkSession)(body: => A): A =
+    withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))(body)
+
+  /** Generic pin-confs-run-restore: sets each (key, value), runs
+    * `body`, then restores each conf's exact prior state — previously
+    * SET values re-set, previously UNSET keys unset again (see the
+    * [[withBroadcastOff]] note on why set-vs-unset matters for
+    * fallback confs). */
+  def withConfs[A](spark: SparkSession, confs: Seq[(String, String)])(body: => A): A = {
+    val saved = confs.map { case (k, _) =>
       k -> (if (spark.sessionState.conf.contains(k)) Some(spark.conf.get(k))
             else None)
     }
-    keys.foreach(spark.conf.set(_, "-1"))
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)

@@ -104,14 +104,20 @@ final class SynthScanBuilder(rows: Long, parts: Int, seed: Long)
     * the scan), so correctness never depends on the pruning math —
     * pushdown here only removes work, exactly like parquet row-group
     * pruning under a retained filter. */
+  // saturating successor: v+1 on Long.MaxValue must clamp, not wrap —
+  // a wrapped bound would prune EVERYTHING for `<= Long.MaxValue`,
+  // and no post-scan filter can resurrect rows never generated
+  private def succ(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
       case EqualTo("event_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan("event_id", v: Long) => lo = math.max(lo, v + 1)
+        lo = math.max(lo, v); hi = math.min(hi, succ(v))
+      case GreaterThan("event_id", v: Long) => lo = math.max(lo, succ(v))
       case GreaterThanOrEqual("event_id", v: Long) => lo = math.max(lo, v)
       case LessThan("event_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, succ(v))
       case _ => // not range-expressible: generate, let Spark filter
     }
     filters // all residual: Spark re-evaluates everything post-scan
@@ -156,19 +162,25 @@ final class SynthReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val SynthRange(start, end, seed) = partition.asInstanceOf[SynthRange]
+    // resolve the projection ONCE per partition — a per-row string
+    // match on the generator's hot path would tax exactly the
+    // benchmarks this source exists to feed
+    val gens: Array[(Long, Long) => Any] = fields.map {
+      case "event_id"   => (id: Long, _: Long) => id
+      case "user_id"    => (_: Long, h: Long) => SynthEvents.userId(h)
+      case "event_type" => (_: Long, h: Long) => UTF8String.fromString(SynthEvents.etype(h))
+      case "ts"         => (_: Long, h: Long) => SynthEvents.tsMicros(h)
+      case "value"      => (_: Long, h: Long) => SynthEvents.value(h)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
     new PartitionReader[InternalRow] {
       private var id = start - 1
       override def next(): Boolean = { id += 1; id < end }
       override def get(): InternalRow = {
         val h = Hashing.splitmix64(id + seed)
-        val vals: Array[Any] = fields.map {
-          case "event_id"   => id
-          case "user_id"    => SynthEvents.userId(h)
-          case "event_type" => UTF8String.fromString(SynthEvents.etype(h))
-          case "ts"         => SynthEvents.tsMicros(h)
-          case "value"      => SynthEvents.value(h)
-          case other => throw new IllegalArgumentException(s"unknown column $other")
-        }
+        val vals = new Array[Any](gens.length)
+        var i = 0
+        while (i < gens.length) { vals(i) = gens(i)(id, h); i += 1 }
         new GenericInternalRow(vals)
       }
       override def close(): Unit = ()

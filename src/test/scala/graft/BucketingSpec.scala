@@ -48,15 +48,21 @@ class BucketingSpec extends AnyFunSuite {
   test("withBroadcastOff restores set-vs-unset state exactly") {
     val aq = "spark.sql.adaptive.autoBroadcastJoinThreshold"
     val bt = "spark.sql.autoBroadcastJoinThreshold"
-    spark.conf.unset(aq)
+    // snapshot and restore the shared session's own prior state so
+    // this test is order-independent in the suite
+    val aqBefore =
+      if (spark.sessionState.conf.contains(aq)) Some(spark.conf.get(aq)) else None
     val btBefore = spark.conf.get(bt)
-    Bucketed.withBroadcastOff(spark) {
-      assert(spark.conf.get(bt) == "-1" && spark.conf.get(aq) == "-1")
-    }
-    // aq must be UNSET again, not re-pinned to an effective value: the
-    // AQE planner falls back to bt only while aq is absent, so writing
-    // anything back would freeze that link for the session
-    assert(!spark.sessionState.conf.contains(aq))
-    assert(spark.conf.get(bt) == btBefore)
+    try {
+      spark.conf.unset(aq)
+      Bucketed.withBroadcastOff(spark) {
+        assert(spark.conf.get(bt) == "-1" && spark.conf.get(aq) == "-1")
+      }
+      // aq must be UNSET again, not re-pinned to an effective value:
+      // the AQE planner falls back to bt only while aq is absent, so
+      // writing anything back would freeze that link for the session
+      assert(!spark.sessionState.conf.contains(aq))
+      assert(spark.conf.get(bt) == btBefore)
+    } finally aqBefore.foreach(spark.conf.set(aq, _))
   }
 }

@@ -18,16 +18,11 @@ class SkewSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   test("AQE splits a planted hot-key join partition (skew=true), values intact") {
-    val confs = Seq(
+    Bucketed.withConfs(spark, Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
-    val saved = confs.map { case (k, _) =>
-      k -> (if (spark.sessionState.conf.contains(k)) Some(spark.conf.get(k))
-            else None)
-    }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try Bucketed.withBroadcastOff(spark) {
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")) {
+      Bucketed.withBroadcastOff(spark) {
       // hot key 1 carries 300k rows (~30x the advisory partition
       // size); 100 cold keys carry 100 rows each
       val left = spark.range(300000)
@@ -45,9 +40,7 @@ class SkewSpec extends AnyFunSuite {
       // value correctness under the split: every hot row matched once
       assert(j.count() == 310000L)
       assert(j.filter(col("k") === 1).count() == 300000L)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+      }
     }
   }
 }

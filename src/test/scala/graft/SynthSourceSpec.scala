@@ -75,6 +75,10 @@ class SynthSourceSpec extends AnyFunSuite {
       base.collect().count(r => r.getLong(1) % 2 == 1))
     // an impossible range plans ZERO partitions
     assert(base.filter(col("event_id") < 0).rdd.getNumPartitions == 0)
+    // saturation: a Long.MaxValue bound must not wrap (v + 1 overflow
+    // would clamp the window to empty and silently drop every row)
+    assert(base.filter(col("event_id") <= Long.MaxValue).count() == 1000)
+    assert(base.filter(col("event_id") === Long.MaxValue).count() == 0)
   }
 
   test("seed changes the data; rows=0 is an empty frame with the schema") {
