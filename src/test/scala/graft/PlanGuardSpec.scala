@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties BENCH.md's plan
+  * audits record, enforced as assertions so a future refactor cannot
+  * silently trade them away. Each guard states WHY the property is
+  * load-bearing at 100 TB. Counts use the post-AQE executed plan of an
+  * actually-executed query (AQE finalizes plans lazily). */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlan prints Final AND Initial sections — count only
+    // the final (actually executed) one
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def count(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("filter pushdown reaches the parquet scan (q_filter)") {
+    val plan = executed(SparkEntry.queries("q_filter")(spark, sf))
+    // a scan that filters AFTER reading pays full I/O at 100 TB
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate") && plan.contains("l_returnflag"),
+      s"predicates missing from PushedFilters:\n$plan")
+  }
+
+  test("column pruning reaches the scan (q_scan_project reads 4 of 16 columns)") {
+    val plan = executed(SparkEntry.queries("q_scan_project")(spark, sf))
+    val rs = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs.nonEmpty, plan)
+    // exactly the 4 referenced lineitem columns — a full-width read is
+    // the single largest avoidable cost of a projection at scale
+    Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .foreach(c => assert(rs.exists(_.contains(c)), s"$c not in ReadSchema: $rs"))
+    Seq("l_comment", "l_shipdate", "l_partkey")
+      .foreach(c => assert(!rs.exists(_.contains(c)), s"$c wrongly read: $rs"))
+  }
+
+  test("q_agg_q1 aggregates partially before its single exchange") {
+    val plan = executed(SparkEntry.queries("q_agg_q1")(spark, sf))
+    // map-side combine is what keeps a 10^12-row groupBy's shuffle
+    // proportional to |groups|, not |rows|
+    assert(count(plan, "HashAggregate") >= 2, s"no partial+final pair:\n$plan")
+    // one exchange for the groupBy + one for the deterministic orderBy
+    assert(count(plan, "Exchange") <= 2, s"extra exchanges crept in:\n$plan")
+  }
+
+  test("flagship triples: rewrite joins broadcast, no nested-loop, bounded exchanges") {
+    val out = Pipeline.runOnTestdata(spark, sf)
+    val plan = executed(out.triples)
+    // the canon map is mention-vocabulary-sized — broadcastable by
+    // construction; a shuffle join here would re-shuffle the full
+    // triple stream twice
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // A2→A10 is narrow; only the canon build + rewrite add exchanges.
+    // Generous bound — the guard is against accidental quadratic
+    // re-planning, not exact plan pinning.
+    assert(count(plan, "Exchange") <= 8,
+      s"flagship exchange count exploded (${count(plan, "Exchange")}):\n$plan")
+  }
+
+  test("q_window_topk sorts once: lag/topk window shares its exchange") {
+    val plan = executed(SparkEntry.queries("q_window_topk")(spark, sf))
+    // window + final orderBy: 2 exchanges max; a regression that adds
+    // a repartition per window op multiplies shuffle volume at scale
+    assert(count(plan, "Exchange") <= 2, plan)
+  }
+}
