@@ -502,6 +502,42 @@ object SparkEntry {
       graft.streaming.Streaming.hourlyEventCounts(s, s"$d/events.parquet")
         .orderBy("hour_ts", "event_type")),
 
+    // stream-stream interval join: per-user click attribution within
+    // the 2 minutes before each purchase — the STREAMING mirror of the
+    // batch band join (both sides watermarked; the BETWEEN bounds both
+    // event times so join state is evicted as the watermark passes).
+    // Drained via AvailableNow (single-file source → one micro-batch,
+    // so no in-flight row can be watermark-dropped) then aggregated in
+    // batch; DuckDB's plain equi+theta join is the value oracle
+    "q_stream_join" -> ((s, d) => {
+      val ev = graft.streaming.Streaming.streamTable(s, s"$d/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+          col("ts").cast("timestamp").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").cast("timestamp").as("c_ts"))
+      val joined = graft.streaming.Streaming.attributionJoin(purchases, clicks, 120L)
+      graft.streaming.Streaming
+        .drainAvailableNow(joined, org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(col("p_event").as("event_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
+    // streaming exact dedup (the streaming mirror of q_dedup_exact's
+    // family): first event per user over the drained stream — emitted
+    // user_id set equals batch DISTINCT (which row survives per user is
+    // arrival-order-dependent, so only the key column is emitted)
+    "q_stream_dedup" -> ((s, d) => {
+      val ev = graft.streaming.Streaming.streamTable(s, s"$d/events.parquet")
+      graft.streaming.Streaming
+        .drainAvailableNow(
+          graft.streaming.Streaming.dedupStream(ev, Seq("user_id"), "ts")
+            .select("user_id"),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("user_id")
+    }),
+
     // Structured Streaming: incremental KG ingest — the flagship's
     // narrow A2→A10 chain per arriving micro-batch, zero streaming
     // state (append mode). Model-based output (Viterbi) → rows-only
@@ -1371,6 +1407,19 @@ object SparkEntry {
         | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
         |WHERE a.event_type = 'purchase'
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT a.event_id, count(*) AS n_clicks
+        |FROM events a
+        |JOIN events b
+        |  ON b.event_type = 'click'
+        | AND b.user_id = a.user_id
+        | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
+        |WHERE a.event_type = 'purchase'
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
 
     "q_join_asof" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey

@@ -54,15 +54,8 @@ object Pages {
   def synthesizeStream(spark: SparkSession, sfDir: String, replicate: Int = 1,
                        heavy: Int = 1): Dataset[PageRow] = {
     import spark.implicits._
-    val tablePath = s"$sfDir/documents.parquet"
-    val schema = spark.read.parquet(tablePath).schema
-    // single-FILE parquet tables need the {}-glob trick (see
-    // Streaming.hourlyEventCounts) to pass FileStreamSource's
-    // basePath-must-be-a-directory check
-    val f = new java.io.File(tablePath)
-    val streamPath =
-      if (f.isFile) s"${f.getParent}/{${f.getName}}" else tablePath
-    val docs = spark.readStream.schema(schema).parquet(streamPath)
+    val docs = graft.streaming.Streaming
+      .streamTable(spark, s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang", "source").as[DocRow]
       .repartition(spark.sparkContext.defaultParallelism * 8)
     fromDocs(docs, replicate, heavy)

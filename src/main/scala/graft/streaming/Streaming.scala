@@ -46,19 +46,22 @@ object Streaming {
     * same aggregation is exercised in StreamingSpec (append only emits
     * a window once the watermark passes it — on an unbounded stream
     * that is the mode that bounds state). */
-  def hourlyEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    // the testdata table is a single parquet FILE: FileStreamSource
-    // force-sets basePath to a NON-glob path, which then fails the
-    // "basePath must be a directory" check — wrapping the filename in
-    // a {}-glob (matches exactly the same file) takes the glob code
-    // path, which infers base paths correctly. A directory-shaped
-    // table streams as-is.
-    val f = new java.io.File(eventsPath)
+  /** readStream over a parquet table path. A single parquet FILE needs
+    * a {}-glob wrap: FileStreamSource force-sets basePath to a NON-glob
+    * path, which then fails the "basePath must be a directory" check —
+    * the glob (matching exactly the same file) takes the glob code
+    * path, which infers base paths correctly. Directory-shaped tables
+    * stream as-is. */
+  def streamTable(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
     val streamPath =
-      if (f.isFile) s"${f.getParent}/{${f.getName}}" else eventsPath
-    val stream = spark.readStream.schema(schema).parquet(streamPath)
-    val agg = stream
+      if (f.isFile) s"${f.getParent}/{${f.getName}}" else path
+    spark.readStream.schema(schema).parquet(streamPath)
+  }
+
+  def hourlyEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    val agg = streamTable(spark, eventsPath)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("sum_value"))
@@ -129,6 +132,46 @@ object Streaming {
           }
       }
   }
+
+  /** Stream-stream interval join (attribution): purchases join the
+    * clicks of the SAME user within the `bandSeconds` before them —
+    * the streaming mirror of the batch band join
+    * ([[graft.operators.Temporal.bandJoinBackward]] /
+    * `graft_band_join`), with an equi key added so the stream state is
+    * hash-partitioned. Both sides are watermarked and the join
+    * condition bounds each side's event time relative to the other
+    * (the BETWEEN gives upper AND lower bounds), which is exactly what
+    * lets Spark EVICT join state once the watermark passes — per-key
+    * state is O(band window), not O(stream). Column prefixes keep the
+    * two sides' schemas disjoint. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      bandSeconds: Long): DataFrame = {
+    val p = purchases.withWatermark("p_ts", s"$bandSeconds seconds")
+    val c = clicks.withWatermark("c_ts", s"$bandSeconds seconds")
+    p.join(c,
+      expr(s"""p_user = c_user AND
+               c_ts BETWEEN p_ts - INTERVAL $bandSeconds SECOND AND p_ts"""))
+  }
+
+  /** Streaming exact dedup — the streaming mirror of the batch
+    * `q_dedup_exact` family. Two modes, chosen by the state bound the
+    * stream needs:
+    *   - `withinWatermarkSeconds = None`: `dropDuplicates` — exact over
+    *     the whole stream, state grows with distinct keys (fine for a
+    *     bounded drain or a keyspace that fits);
+    *   - `Some(s)`: `dropDuplicatesWithinWatermark` — state evicted as
+    *     the watermark passes, so duplicates are only suppressed within
+    *     the horizon (a key reappearing much later re-emits); the only
+    *     shape with bounded state on an unbounded stream.
+    */
+  def dedupStream(df: DataFrame, keys: Seq[String],
+                  tsCol: String,
+                  withinWatermarkSeconds: Option[Long] = None): DataFrame =
+    withinWatermarkSeconds match {
+      case Some(s) => df.withWatermark(tsCol, s"$s seconds")
+        .dropDuplicatesWithinWatermark(keys)
+      case None => df.dropDuplicates(keys)
+    }
 
   /** Incremental KG ingest: the flagship's narrow A2→A10 chain —
     * extract → lang filter → sentence split → Viterbi tag → BIO decode

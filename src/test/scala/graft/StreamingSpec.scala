@@ -136,6 +136,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == the batch equi+band join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pSrc = MemoryStream[(Long, Long, Timestamp)]
+    val cSrc = MemoryStream[(Long, Timestamp)]
+    val purchases = pSrc.toDF().toDF("p_event", "p_user", "p_ts")
+    val clicks = cSrc.toDF().toDF("c_user", "c_ts")
+    val joined = Streaming.attributionJoin(purchases, clicks, 120L)
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append()).start()
+    def t0 = ts("2024-03-01 10:00:00").getTime
+    try {
+      // batch 1: user 5 clicks at -60s and -121s; purchase at t0
+      cSrc.addData((5L, new Timestamp(t0 - 60000L)), (5L, new Timestamp(t0 - 121000L)),
+        (6L, new Timestamp(t0 - 30000L)))
+      pSrc.addData((100L, 5L, new Timestamp(t0)))
+      q.processAllAvailable()
+      // batch 2: a second purchase by user 6; user 5's click arrives
+      // AFTER the purchase was processed (stream-stream state holds it)
+      pSrc.addData((101L, 6L, new Timestamp(t0 + 10000L)))
+      cSrc.addData((5L, new Timestamp(t0 - 1000L)))
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .select("p_event", "c_ts").as[(Long, Timestamp)].collect()
+        .map { case (e, c) => (e, (t0 - c.getTime) / 1000) }.toSet
+      // expected: purchase 100 matches user-5 clicks at -60s and -1s
+      // (NOT -121s: outside the band); purchase 101 matches user-6's
+      // click at -30s (40s before 101's time)
+      assert(got == Set((100L, 60L), (100L, 1L), (101L, 30L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: horizon dedup, far-later key re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp)]
+    val q = Streaming.dedupStream(src.toDF().toDF("k", "ts"), Seq("k"), "ts",
+        withinWatermarkSeconds = Some(60L))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    def t0 = ts("2024-04-01 10:00:00").getTime
+    try {
+      src.addData((1L, new Timestamp(t0)), (1L, new Timestamp(t0 + 5000L)))
+      q.processAllAvailable()
+      // within-horizon duplicate in a LATER batch: still dropped
+      src.addData((1L, new Timestamp(t0 + 20000L)))
+      q.processAllAvailable()
+      // advance the watermark far past the horizon, then key 1 again:
+      // state was evicted, so it re-emits — the documented bounded-state
+      // trade-off vs full dropDuplicates
+      src.addData((2L, new Timestamp(t0 + 600000L)))
+      q.processAllAvailable()
+      src.addData((1L, new Timestamp(t0 + 700000L)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").select("k", "ts")
+        .as[(Long, Timestamp)].collect()
+        .map { case (k, t) => (k, (t.getTime - t0) / 1000) }.toSet
+      assert(got == Set((1L, 0L), (2L, 600L), (1L, 700L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("triplesIngest (streamed A2->A10) == the batch stages, value for value") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
