@@ -557,6 +557,55 @@ object SparkEntry {
         .option("rows", 10000L).option("parts", 8).option("seed", 42L)
         .load().orderBy("event_id")),
 
+    // recursive CTE (Spark 4 WITH RECURSIVE): a month axis generated by
+    // recursion, LEFT JOINed to orders so EMPTY months appear with 0 —
+    // the shape a plain GROUP BY cannot produce; Catalyst plans the
+    // iterative UnionLoop, DuckDB mirrors the same recursion
+    "q_recursive_cte" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        WITH RECURSIVE months(n) AS (
+          SELECT 0 UNION ALL SELECT n + 1 FROM months WHERE n < 83
+        )
+        SELECT date_format(add_months(DATE'1992-01-01', n), 'yyyy-MM') AS month,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON date_format(o_orderdate, 'yyyy-MM')
+           = date_format(add_months(DATE'1992-01-01', n), 'yyyy-MM')
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // LATERAL correlated subquery: per-nation max order value through a
+    // lateral derived table (Catalyst decorrelates to a join)
+    "q_subquery_lateral" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT n.n_name, l.max_price
+        FROM nation n,
+        LATERAL (SELECT max(o_totalprice) AS max_price
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_nationkey = n.n_nationkey) l
+        ORDER BY n.n_name""")
+    }),
+
+    // correlated scalar subquery + correlated EXISTS (the decorrelation
+    // surface): per-customer order count, customers with a big order
+    "q_subquery_scalar" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_totalprice > 100000)
+        ORDER BY c_custkey""")
+    }),
+
     // ---- set intersect (completes the union/except/intersect family) ----
     "q_set_intersect" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1407,6 +1456,35 @@ object SparkEntry {
         | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
         |WHERE a.event_type = 'purchase'
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(n) AS (
+        |  SELECT 0 UNION ALL SELECT n + 1 FROM months WHERE n < 83
+        |)
+        |SELECT strftime((DATE '1992-01-01' + (n || ' months')::INTERVAL)::DATE, '%Y-%m') AS month,
+        |       count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON strftime(o_orderdate, '%Y-%m')
+        |   = strftime((DATE '1992-01-01' + (n || ' months')::INTERVAL)::DATE, '%Y-%m')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_subquery_lateral" ->
+      """SELECT n.n_name, l.max_price
+        |FROM nation n,
+        |LATERAL (SELECT max(o_totalprice) AS max_price
+        |         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |         WHERE c.c_nationkey = n.n_nationkey) l
+        |ORDER BY n.n_name""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o2
+        |              WHERE o2.o_custkey = c.c_custkey
+        |                AND o2.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_stream_join" ->
       """SELECT a.event_id, count(*) AS n_clicks
