@@ -189,12 +189,41 @@ object Streaming {
     * StreamingSpec asserts stream output == the batch stages on the
     * same pages, value for value. */
   def triplesIngest(spark: SparkSession, sfDir: String,
-                    nParts: Int = 16): DataFrame = {
+                    nParts: Int = 16): DataFrame =
+    drainAvailableNow(rawTriplesStream(spark, sfDir, nParts), OutputMode.Append())
+
+  private def rawTriplesStream(spark: SparkSession, sfDir: String,
+                               nParts: Int): DataFrame = {
     val pages = graft.sources.Pages.synthesizeStream(spark, sfDir)
     val bcModel = spark.sparkContext.broadcast(graft.core.Fixture.model)
-    val raw = graft.operators.Stages.rawTriples(
+    graft.operators.Stages.rawTriples(
       graft.operators.Stages.tag(
-        graft.operators.Stages.extract(pages, nParts), bcModel))
-    drainAvailableNow(raw.toDF(), OutputMode.Append())
+        graft.operators.Stages.extract(pages, nParts), bcModel)).toDF()
+  }
+
+  /** The DURABLE form of [[triplesIngest]]: parquet sink + a persistent
+    * checkpoint directory — Structured Streaming's exactly-once
+    * contract for file sources/sinks. The checkpoint ledger records
+    * which input files each committed micro-batch consumed, so a
+    * RESTART of the same (outDir, checkpointDir) pair processes only
+    * files that arrived since — re-running over an unchanged input is
+    * a no-op, never a duplicate (ResumeSpec-style restart semantics,
+    * asserted in StreamingSpec). This is the streaming counterpart of
+    * the batch [[graft.plans.Lineage]] resume: same idea (durable
+    * ledger keyed by input), enforced by the engine instead of our
+    * manifest. Returns the total row count in the sink after the
+    * drain. */
+  def triplesIngestDurable(spark: SparkSession, sfDir: String,
+                           outDir: String, checkpointDir: String,
+                           nParts: Int = 16): Long = {
+    val q = rawTriplesStream(spark, sfDir, nParts)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).count()
   }
 }

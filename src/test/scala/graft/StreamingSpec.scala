@@ -197,6 +197,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("durable ingest: restart over unchanged input is a no-op, never a duplicate") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val out = s"$base/triples"
+    val ckpt = s"$base/ckpt"
+    val n1 = Streaming.triplesIngestDurable(spark, "/root/testdata/sf0.001", out, ckpt)
+    assert(n1 > 0)
+    // second drain with the same checkpoint: the ledger knows the input
+    // file was consumed by a committed batch — zero new rows
+    val n2 = Streaming.triplesIngestDurable(spark, "/root/testdata/sf0.001", out, ckpt)
+    assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
+    // and the sink content equals the one-shot drain
+    import spark.implicits._
+    val direct = Streaming.triplesIngest(spark, "/root/testdata/sf0.001")
+    assert(spark.read.parquet(out).count() == direct.count())
+  }
+
   test("triplesIngest (streamed A2->A10) == the batch stages, value for value") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
