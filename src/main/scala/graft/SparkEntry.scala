@@ -342,6 +342,24 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id")),
 
+    // PII redaction over deterministically PII-laced text (the
+    // testdata corpus is synthetic and PII-free, so both engines lace
+    // each row identically from doc_id, then Spark redacts and DuckDB
+    // mirrors the regexp_replace chain — full value oracle incl. the
+    // per-row found-entity counts)
+    "q_text_redact" -> ((s, d) => {
+      val laced = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach me at user"), col("doc_id"), lit("@example.org"),
+          lit(" or 555-867-5309 from 10.0."), pmod(col("doc_id"), lit(256)),
+          lit(".7 ok")).as("text"))
+      TextAnalysis.redactPii(laced)
+        .select(col("doc_id"), col("text").as("redacted"),
+          size(regexp_extract_all(col("text"), lit("<EMAIL>|<PHONE>|<IP>"), lit(0)))
+            .cast("long").as("n_redacted"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide frequent terms through the native Misra-Gries
     // aggregate (graft_freq_items, k=64 counters) + exact recount of
     // the <=64 candidates — the MG superset guarantee (3% >= 1/65)
@@ -1319,6 +1337,30 @@ object SparkEntry {
     // exact by the MG superset guarantee: candidates ⊇ every >=3%
     // token, recount is exact, so the full GROUP BY / HAVING answer
     // matches value-for-value (integer-exact threshold arithmetic)
+    // mirrors the lacing (doc_id-derived email/phone/IP appended to the
+    // PII-free synthetic text) and the ordered regexp_replace chain;
+    // 'g' = global, matching Spark's replace-all default
+    "q_text_redact" ->
+      """WITH laced AS (
+        |  SELECT doc_id,
+        |         text || ' reach me at user' || doc_id::VARCHAR || '@example.org'
+        |              || ' or 555-867-5309 from 10.0.' || (doc_id % 256)::VARCHAR
+        |              || '.7 ok' AS text
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(text,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |  FROM laced
+        |)
+        |SELECT doc_id, redacted,
+        |       len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<IP>'))::BIGINT AS n_redacted
+        |FROM red ORDER BY doc_id""".stripMargin,
+
     "q_text_freqterms" ->
       """WITH w AS (SELECT t.w AS word
         |           FROM documents, unnest(string_split_regex(text, '\s+')) AS t(w)

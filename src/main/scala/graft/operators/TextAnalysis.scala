@@ -111,6 +111,32 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint", "sketch_size")
   }
 
+  /** PII patterns shared by [[redactPii]] and its DuckDB oracle — kept
+    * to the regex intersection of Java's engine and RE2 (character
+    * classes, bounded repetition, \b) so both engines match the SAME
+    * substrings. Order matters: emails first (their local parts can
+    * contain digit runs a later pattern might chew). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""" -> "<PHONE>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>")
+
+  /** PII redaction — the corpus-cleaning pass every training-data
+    * pipeline runs before anything else sees the text. Pure chained
+    * `regexp_replace` Column expressions (codegen'd, narrow, no UDF);
+    * emails / NANP-style phone numbers / IPv4 literals are replaced by
+    * type tokens so downstream dedup and tokenization stay stable
+    * across redacted variants of the same document. Pattern set is the
+    * deliberately-conservative high-precision core — extend
+    * [[PiiPatterns]] per deployment; recall-heavy PII (names,
+    * addresses) needs an NER pass, which is what the KG pipeline's
+    * tagger is for. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      PiiPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
+
   /** Corpus-wide frequent terms, EXACTLY: every whitespace token whose
     * count clears `pctTimes100`/100 percent of all tokens, with its
     * exact count. Two narrow passes, no full-vocabulary shuffle:

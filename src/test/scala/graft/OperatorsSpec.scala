@@ -309,6 +309,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     val b = TextAnalysis.fingerprints(docs).as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("PII redaction: all three types, multiples, identity on clean text") {
+    def red(s: String): String = TextAnalysis.redactPii(
+      Seq((1L, s)).toDF("doc_id", "text")).select("text").as[String].head()
+    assert(red("mail a.b+c@sub.example.co or x@y.org now") ==
+      "mail <EMAIL> or <EMAIL> now")
+    assert(red("call 555-867-5309 or 555 123 4567.") ==
+      "call <PHONE> or <PHONE>.")
+    assert(red("host 192.168.0.1 and 10.0.0.7;") == "host <IP> and <IP>;")
+    // email precedence: the digits inside a local part are consumed by
+    // the email token, not half-eaten by the phone/ip patterns
+    assert(red("u555-867-5309x@example.org") == "<EMAIL>")
+    // identity on clean text — including digit runs that are NOT PII
+    val clean = "version 3.14 shipped in 2024, build 1234567 ok"
+    assert(red(clean) == clean)
+  }
 }
 
 class BpeSpec extends AnyFunSuite {
