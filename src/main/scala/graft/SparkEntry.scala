@@ -360,6 +360,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: 32-word windows every 24 words (8-word
+    // overlap) — the packing step that feeds tokenizers; narrow
+    // explode, chunk boundaries mirrored exactly by DuckDB list math
+    "q_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunk(t(s, d, "documents"), chunkWords = 32, strideWords = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // corpus-frequency stopword filter (C4-style boilerplate rule):
+    // terms at >= 3.5% support — found by the MG sketch + exact recount
+    // — removed from every document; DuckDB recomputes the same exact
+    // term set and mirrors the order-preserving filter
+    "q_text_stopfilter" -> ((s, d) =>
+      TextAnalysis.removeFrequentTerms(t(s, d, "documents"), k = 64, pctTimes100 = 350)
+        .orderBy("doc_id")),
+
     // corpus-wide frequent terms through the native Misra-Gries
     // aggregate (graft_freq_items, k=64 counters) + exact recount of
     // the <=64 candidates — the MG superset guarantee (3% >= 1/65)
@@ -1360,6 +1375,39 @@ object SparkEntry {
         |SELECT doc_id, redacted,
         |       len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<IP>'))::BIGINT AS n_redacted
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    // same window starts (0, 24, 48, ... while start < n_words; empty
+    // docs drop out) and the same 1-based inclusive slice bounds
+    "q_text_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 24)) AS i
+        |  FROM w WHERE len(ws) > 0
+        |)
+        |SELECT doc_id,
+        |       i::INT AS chunk_idx,
+        |       array_to_string(ws[i*24 + 1 : i*24 + 32], ' ') AS chunk,
+        |       len(ws[i*24 + 1 : i*24 + 32])::BIGINT AS n_words
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // exact same term set (integer-exact threshold over the identical
+    // tokenization), then an order-preserving list filter
+    "q_text_stopfilter" ->
+      """WITH w AS (SELECT t.w AS word
+        |           FROM documents, unnest(string_split_regex(text, '\s+')) AS t(w)
+        |           WHERE t.w <> ''),
+        |tot AS (SELECT count(*) AS n FROM w),
+        |freq AS (SELECT word FROM w, tot
+        |         GROUP BY word, tot.n HAVING count(*) * 10000 >= 350 * tot.n),
+        |fl AS (SELECT coalesce(list(word), []) AS stop FROM freq)
+        |SELECT d.doc_id,
+        |       array_to_string(
+        |         list_filter(string_split_regex(d.text, '\s+'),
+        |                     x -> x <> '' AND NOT list_contains(fl.stop, x)),
+        |         ' ') AS text
+        |FROM documents d, fl ORDER BY d.doc_id""".stripMargin,
 
     "q_text_freqterms" ->
       """WITH w AS (SELECT t.w AS word

@@ -137,6 +137,58 @@ object TextAnalysis {
         regexp_replace(c, pat, repl)
       })
 
+  /** Context-window chunking — the packing step that feeds tokenizers:
+    * each document becomes overlapping windows of `chunkWords`
+    * whitespace tokens, starting every `strideWords` (stride <
+    * chunkWords ⇒ overlap, the standard long-document recipe so no
+    * span is split across every chunk boundary it appears near). Pure
+    * Column expressions: split → sequence of window starts → transform
+    * + slice → posexplode. Narrow (each doc expands independently, no
+    * shuffle until the caller aggregates); empty documents produce no
+    * chunks. The trailing window is kept even when shorter than
+    * `chunkWords` (standard: the tail tokens must land somewhere). */
+  def chunk(docs: DataFrame, chunkWords: Int, strideWords: Int): DataFrame = {
+    require(chunkWords >= 1 && strideWords >= 1 && strideWords <= chunkWords,
+      "need 1 <= strideWords <= chunkWords")
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val n = size(ws)
+    // starts: 0, stride, 2*stride, ... while start < n (none if n == 0)
+    // floor((n-1)/stride): n >= 1 in this branch, so the floored double
+    // division equals integer division (and DuckDB's `//`)
+    val starts = when(n === 0, array().cast("array<int>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((n - 1) / strideWords).cast("int")),
+        i => i * strideWords))
+    docs
+      .withColumn("__ws", ws)
+      .select(col("doc_id"),
+        posexplode(transform(starts, s =>
+          array_join(slice(col("__ws"), s + 1, lit(chunkWords)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("n_words",
+        size(filter(split(col("chunk"), " "), w => w =!= "")).cast("long"))
+  }
+
+  /** Corpus-frequency stopword filtering (the C4-style boilerplate
+    * rule: drop tokens that blanket the corpus): removes every term at
+    * or above the support threshold from every document, term set
+    * computed EXACTLY by [[frequentTerms]] (MG sketch proposes, exact
+    * recount decides). The ≤ k filtered terms ride to executors as an
+    * array literal inside a codegen'd higher-order `filter` — narrow,
+    * no join, original token order preserved. */
+  def removeFrequentTerms(docs: DataFrame, k: Int, pctTimes100: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = frequentTerms(docs, k, pctTimes100)
+      .select("word").as[String].collect().sorted
+    val freqLit = typedlit(freq)
+    docs.select(col("doc_id"),
+      array_join(
+        filter(split(col("text"), "\\s+"),
+          w => w =!= "" && !array_contains(freqLit, w)), " ").as("text"))
+  }
+
   /** Corpus-wide frequent terms, EXACTLY: every whitespace token whose
     * count clears `pctTimes100`/100 percent of all tokens, with its
     * exact count. Two narrow passes, no full-vocabulary shuffle:

@@ -310,6 +310,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("chunking: starts/overlap/tail, empty doc yields no chunks") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, ""),
+      (3L, "only")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, chunkWords = 4, strideWords = 3)
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 0,3,6,9 -> 4 chunks; the short tail chunk is kept
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq == Seq(
+      (0, "w1 w2 w3 w4"), (1, "w4 w5 w6 w7"), (2, "w7 w8 w9 w10"), (3, "w10")))
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(!got.exists(_._1 == 2L), "empty doc must yield no chunks")
+    assert(got.filter(_._1 == 3L).map(r => (r._2, r._3)).toSeq == Seq((0, "only")))
+  }
+
+  test("removeFrequentTerms drops exactly the >=threshold terms, order kept") {
+    // 'the' is 50% of tokens; everything else is rare
+    val docs = Seq(
+      (1L, "the quick the fox the jumps"),
+      (2L, "the lazy the dog the sleeps")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeFrequentTerms(docs, k = 8, pctTimes100 = 2000)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "quick fox jumps"), (2L, "lazy dog sleeps")))
+  }
+
   test("PII redaction: all three types, multiples, identity on clean text") {
     def red(s: String): String = TextAnalysis.redactPii(
       Seq((1L, s)).toDF("doc_id", "text")).select("text").as[String].head()
