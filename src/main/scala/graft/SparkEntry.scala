@@ -639,6 +639,29 @@ object SparkEntry {
         ORDER BY c_custkey""")
     }),
 
+    // TPC-H Q5-shaped 6-way join (region -> nation -> {customer,
+    // supplier} -> orders -> lineitem, local-supplier constraint):
+    // exercises the deep join tree — Catalyst orders the joins and
+    // broadcasts every dimension; lineitem (the one big table) is
+    // never on a build side. Exact DECIMAL sum before the round
+    "q_join_multiway" -> ((s, d) => {
+      val joined = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      // per-row product rounded to its (unique nearest) 4-dp value
+      // first — the q_scan_project-proven cross-engine step — then the
+      // exact decimal sum
+      joined.groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"),
+          dsum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 2)
+            .as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // ---- set intersect (completes the union/except/intersect family) ----
     "q_set_intersect" -> ((s, d) =>
       t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1546,6 +1569,18 @@ object SparkEntry {
         | AND b.ts BETWEEN a.ts - INTERVAL 2 MINUTE AND a.ts
         |WHERE a.event_type = 'purchase'
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                          AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "q_recursive_cte" ->
       """WITH RECURSIVE months(n) AS (

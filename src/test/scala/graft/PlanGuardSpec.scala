@@ -69,6 +69,19 @@ class PlanGuardSpec extends AnyFunSuite {
       s"flagship exchange count exploded (${count(plan, "Exchange")}):\n$plan")
   }
 
+  test("6-way join: every dimension broadcasts; the fact table never shuffles for a join") {
+    val plan = executed(SparkEntry.queries("q_join_multiway")(spark, sf))
+    // all five joins against dimension-sized sides must be broadcast:
+    // at 100 TB the lineitem stream passes through ONCE, never
+    // re-partitioned per join
+    assert(count(plan, "BroadcastHashJoin") == 5, s"expected 5 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a dimension join fell back to a shuffle join:\n$plan")
+    // remaining exchanges: the groupBy and the final orderBy only
+    assert(count(plan, "Exchange hashpartitioning") <= 1 &&
+      count(plan, "Exchange rangepartitioning") <= 1, plan)
+  }
+
   test("q_window_topk sorts once: lag/topk window shares its exchange") {
     val plan = executed(SparkEntry.queries("q_window_topk")(spark, sf))
     // window + final orderBy: 2 exchanges max; a regression that adds
