@@ -353,9 +353,12 @@ object SparkEntry {
           lit(" reach me at user"), col("doc_id"), lit("@example.org"),
           lit(" or 555-867-5309 from 10.0."), pmod(col("doc_id"), lit(256)),
           lit(".7 ok")).as("text"))
+      // count pattern derived from the pattern table so an added PII
+      // type can never leave this count stale
+      val tokenAlt = TextAnalysis.PiiPatterns.map(_._2).mkString("|")
       TextAnalysis.redactPii(laced)
         .select(col("doc_id"), col("text").as("redacted"),
-          size(regexp_extract_all(col("text"), lit("<EMAIL>|<PHONE>|<IP>"), lit(0)))
+          size(regexp_extract_all(col("text"), lit(tokenAlt), lit(0)))
             .cast("long").as("n_redacted"))
         .orderBy("doc_id")
     }),
@@ -595,16 +598,19 @@ object SparkEntry {
     // the shape a plain GROUP BY cannot produce; Catalyst plans the
     // iterative UnionLoop, DuckDB mirrors the same recursion
     "q_recursive_cte" -> ((s, d) => {
+      // axis 1995-01..2001-12: covers the data's full 1995-01..2001-08
+      // span plus four genuinely order-free trailing months, so the
+      // "empty months surface with 0" shape is real, not vacuous
       t(s, d, "orders").createOrReplaceTempView("orders")
       s.sql("""
         WITH RECURSIVE months(n) AS (
           SELECT 0 UNION ALL SELECT n + 1 FROM months WHERE n < 83
         )
-        SELECT date_format(add_months(DATE'1992-01-01', n), 'yyyy-MM') AS month,
+        SELECT date_format(add_months(DATE'1995-01-01', n), 'yyyy-MM') AS month,
                count(o_orderkey) AS n_orders
         FROM months LEFT JOIN orders
           ON date_format(o_orderdate, 'yyyy-MM')
-           = date_format(add_months(DATE'1992-01-01', n), 'yyyy-MM')
+           = date_format(add_months(DATE'1995-01-01', n), 'yyyy-MM')
         GROUP BY 1 ORDER BY 1""")
     }),
 
@@ -1372,9 +1378,6 @@ object SparkEntry {
 
     "q_text_fingerprint" -> fingerprintOracleSql,
 
-    // exact by the MG superset guarantee: candidates ⊇ every >=3%
-    // token, recount is exact, so the full GROUP BY / HAVING answer
-    // matches value-for-value (integer-exact threshold arithmetic)
     // mirrors the lacing (doc_id-derived email/phone/IP appended to the
     // PII-free synthetic text) and the ordered regexp_replace chain;
     // 'g' = global, matching Spark's replace-all default
@@ -1432,6 +1435,9 @@ object SparkEntry {
         |         ' ') AS text
         |FROM documents d, fl ORDER BY d.doc_id""".stripMargin,
 
+    // exact by the MG superset guarantee: candidates ⊇ every >=3%
+    // token, recount is exact, so the full GROUP BY / HAVING answer
+    // matches value-for-value (integer-exact threshold arithmetic)
     "q_text_freqterms" ->
       """WITH w AS (SELECT t.w AS word
         |           FROM documents, unnest(string_split_regex(text, '\s+')) AS t(w)
@@ -1586,11 +1592,11 @@ object SparkEntry {
       """WITH RECURSIVE months(n) AS (
         |  SELECT 0 UNION ALL SELECT n + 1 FROM months WHERE n < 83
         |)
-        |SELECT strftime((DATE '1992-01-01' + (n || ' months')::INTERVAL)::DATE, '%Y-%m') AS month,
+        |SELECT strftime((DATE '1995-01-01' + (n || ' months')::INTERVAL)::DATE, '%Y-%m') AS month,
         |       count(o_orderkey) AS n_orders
         |FROM months LEFT JOIN orders
         |  ON strftime(o_orderdate, '%Y-%m')
-        |   = strftime((DATE '1992-01-01' + (n || ' months')::INTERVAL)::DATE, '%Y-%m')
+        |   = strftime((DATE '1995-01-01' + (n || ' months')::INTERVAL)::DATE, '%Y-%m')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_subquery_lateral" ->

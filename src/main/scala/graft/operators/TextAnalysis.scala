@@ -159,15 +159,17 @@ object TextAnalysis {
       .otherwise(transform(
         sequence(lit(0), floor((n - 1) / strideWords).cast("int")),
         i => i * strideWords))
+    // n_words comes from the slice itself (codegen CSEs the two slice
+    // references) — re-splitting the joined chunk string would pay a
+    // second regex pass per chunk on the corpus-sized path
     docs
       .withColumn("__ws", ws)
       .select(col("doc_id"),
-        posexplode(transform(starts, s =>
-          array_join(slice(col("__ws"), s + 1, lit(chunkWords)), " "))))
-      .withColumnRenamed("pos", "chunk_idx")
-      .withColumnRenamed("col", "chunk")
-      .withColumn("n_words",
-        size(filter(split(col("chunk"), " "), w => w =!= "")).cast("long"))
+        posexplode(transform(starts, s => struct(
+          array_join(slice(col("__ws"), s + 1, lit(chunkWords)), " ").as("chunk"),
+          size(slice(col("__ws"), s + 1, lit(chunkWords))).cast("long").as("n_words")))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col.chunk").as("chunk"), col("col.n_words").as("n_words"))
   }
 
   /** Corpus-frequency stopword filtering (the C4-style boilerplate
@@ -181,7 +183,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val freq = frequentTerms(docs, k, pctTimes100)
-      .select("word").as[String].collect().sorted
+      .select("word").as[String].collect()
     val freqLit = typedlit(freq)
     docs.select(col("doc_id"),
       array_join(

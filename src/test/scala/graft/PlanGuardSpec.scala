@@ -70,7 +70,16 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("6-way join: every dimension broadcasts; the fact table never shuffles for a join") {
-    val plan = executed(SparkEntry.queries("q_join_multiway")(spark, sf))
+    // cap auto-broadcast BELOW lineitem's size (117 KB at sf0.001) so
+    // the guard has teeth: if a planner change ever put the fact table
+    // on a build side, it could not broadcast and the join would fall
+    // back to a SortMergeJoin — caught below. The dimensions (<= 37 KB)
+    // stay broadcastable.
+    val plan = graft.sources.Bucketed.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "65536")) {
+      executed(SparkEntry.queries("q_join_multiway")(spark, sf))
+    }
     // all five joins against dimension-sized sides must be broadcast:
     // at 100 TB the lineitem stream passes through ONCE, never
     // re-partitioned per join
