@@ -545,34 +545,44 @@ object SparkEntry {
     // Drained via AvailableNow (single-file source → one micro-batch,
     // so no in-flight row can be watermark-dropped) then aggregated in
     // batch; DuckDB's plain equi+theta join is the value oracle
-    "q_stream_join" -> ((s, d) => {
-      val ev = graft.streaming.Streaming.streamTable(s, s"$d/events.parquet")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
-          col("ts").cast("timestamp").as("p_ts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").cast("timestamp").as("c_ts"))
-      val joined = graft.streaming.Streaming.attributionJoin(purchases, clicks, 120L)
-      graft.streaming.Streaming
-        .drainAvailableNow(joined, org.apache.spark.sql.streaming.OutputMode.Append())
-        .groupBy(col("p_event").as("event_id"))
-        .agg(count(lit(1)).as("n_clicks"))
-        .orderBy("event_id")
-    }),
+    // state partitions pinned to 8 for the bounded drain: a streaming
+    // query fixes its state-partition count at its first batch, and a
+    // stream-stream join carries FOUR state stores per partition whose
+    // per-batch commit overhead dominates a one-batch drain (measured
+    // 8.2 s at 32 partitions vs 3.2 s at 8, same result); a production
+    // unbounded stream sizes this by sustained row rate instead
+    "q_stream_join" -> ((s, d) =>
+      Bucketed.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+        val ev = graft.streaming.Streaming.streamTable(s, s"$d/events.parquet")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+            col("ts").cast("timestamp").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").cast("timestamp").as("c_ts"))
+        val joined = graft.streaming.Streaming.attributionJoin(purchases, clicks, 120L)
+        graft.streaming.Streaming
+          .drainAvailableNow(joined, org.apache.spark.sql.streaming.OutputMode.Append())
+          .groupBy(col("p_event").as("event_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy("event_id")
+          .localCheckpoint(true)
+      }),
 
     // streaming exact dedup (the streaming mirror of q_dedup_exact's
     // family): first event per user over the drained stream — emitted
     // user_id set equals batch DISTINCT (which row survives per user is
     // arrival-order-dependent, so only the key column is emitted)
-    "q_stream_dedup" -> ((s, d) => {
-      val ev = graft.streaming.Streaming.streamTable(s, s"$d/events.parquet")
-      graft.streaming.Streaming
-        .drainAvailableNow(
-          graft.streaming.Streaming.dedupStream(ev, Seq("user_id"), "ts")
-            .select("user_id"),
-          org.apache.spark.sql.streaming.OutputMode.Append())
-        .orderBy("user_id")
-    }),
+    "q_stream_dedup" -> ((s, d) =>
+      Bucketed.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+        val ev = graft.streaming.Streaming.streamTable(s, s"$d/events.parquet")
+        graft.streaming.Streaming
+          .drainAvailableNow(
+            graft.streaming.Streaming.dedupStream(ev, Seq("user_id"), "ts")
+              .select("user_id"),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      }),
 
     // Structured Streaming: incremental KG ingest — the flagship's
     // narrow A2→A10 chain per arriving micro-batch, zero streaming
