@@ -721,6 +721,29 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.75D)"), 4).as("p75"))
         .orderBy("o_orderstatus")),
 
+    // statistical aggregates (single-pass co-moment family): stddev /
+    // variance / correlation / covariance per group — engines merge
+    // partial moments in different orders, so values agree only to FP
+    // noise (~1e-9 relative); rounding at 2dp (4dp for corr, |r|<=1)
+    // snaps both to the identical double
+    "q_agg_stats" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 2).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+        .orderBy("l_returnflag")),
+
+    // quantile sketch (the approx family alongside HLL and MG):
+    // rows-only — sketch merge order is engine-private — with the
+    // error bound vs exact percentiles asserted in RelationalExtrasSpec
+    "q_agg_approx_pct" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)")
+          .as("approx_p50_p90"))
+        .orderBy("o_orderstatus")),
+
     // ---- ordered string aggregation (the collect_list family, made
     // deterministic by sorting before the join) ----
     "q_agg_listagg" -> ((s, d) =>
@@ -1708,6 +1731,14 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
         |       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |       round(var_samp(l_quantity), 2) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_listagg" ->
       """SELECT c_mktsegment, count(*) AS cnt,

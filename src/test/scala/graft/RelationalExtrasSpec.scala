@@ -57,4 +57,24 @@ class RelationalExtrasSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 2.0) // smallest value with cume_dist >= 0.5
     assert(r.getDouble(1) == 1.75) // linear interpolation at (n-1)*p
   }
+
+  test("approx_percentile lands within the sketch's rank-error bound of exact") {
+    // GK-sketch contract: with accuracy a, the returned value's RANK is
+    // within n/a of the target rank. Verify on real data by rank, not
+    // by value distance (value error is unbounded for spread-out data).
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val xs = orders.select("o_totalprice").as[Double](
+      org.apache.spark.sql.Encoders.scalaDouble).collect().sorted
+    val n = xs.length
+    val accuracy = 10000
+    val got = orders.agg(
+      expr(s"approx_percentile(o_totalprice, array(0.5D, 0.9D), $accuracy)"))
+      .head().getSeq[Double](0)
+    for ((p, v) <- Seq(0.5, 0.9).zip(got)) {
+      val rank = xs.count(_ <= v)
+      val err = math.abs(rank - p * n)
+      assert(err <= math.max(1.0, 2.0 * n / accuracy),
+        s"p=$p value $v at rank $rank vs target ${p * n} (n=$n)")
+    }
+  }
 }
