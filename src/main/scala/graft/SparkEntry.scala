@@ -447,6 +447,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // rank-family window functions (completes the window surface next
+    // to row_number/lag/frames): ties NOT broken — rank/dense_rank's
+    // tie semantics are exactly what distinguishes them, and
+    // percent_rank/cume_dist are exact integer ratios in double
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_orderstatus"))
+      t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(Window.partitionBy("o_orderpriority")
+            .orderBy("o_orderkey")).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // pure (no equi-key) time-band join, bucketed: clicks within the 2
     // minutes before each purchase — Temporal.bandJoinBackward turns
     // the theta join Catalyst would BNLJ into a linear bucket equi-join
@@ -1599,6 +1616,17 @@ object SparkEntry {
         |      FROM orders)
         |WHERE rn <= 5
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cdist,
+        |       ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_band_rule" ->
       """SELECT a.event_id, count(*) AS n_clicks
