@@ -610,6 +610,45 @@ object SparkEntry {
       graft.streaming.Streaming.triplesIngest(s, d)
         .orderBy("url", "sent_idx", "subj", "pred", "obj", "rule_id")),
 
+    // JSON-lines source format: events written as canonical JSONL then
+    // read back under an explicit schema and aggregated — the oracle
+    // aggregates the ORIGINAL parquet, so the query only passes if the
+    // codec round-trips every value exactly (timestamps included, via
+    // an explicit micros-preserving format)
+    "q_source_json" -> ((s, d) => {
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      val ev = t(s, d, "events")
+      val out = "/tmp/graft_events_jsonl"
+      ev.write.mode("overwrite")
+        .option("timestampNTZFormat", tsFmt).json(out)
+      s.read.schema(ev.schema)
+        .option("timestampNTZFormat", tsFmt).json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("user_id")).as("sum_user"),
+          dsum(col("value")).as("sum_value"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_us"))
+        .orderBy("event_type")
+    }),
+
+    // CSV source format: same round-trip contract (header + explicit
+    // schema + micros-preserving timestamp format)
+    "q_source_csv" -> ((s, d) => {
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      val ev = t(s, d, "events")
+      val out = "/tmp/graft_events_csv"
+      ev.write.mode("overwrite").option("header", "true")
+        .option("timestampNTZFormat", tsFmt).csv(out)
+      s.read.schema(ev.schema).option("header", "true")
+        .option("timestampNTZFormat", tsFmt).csv(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("user_id")).as("sum_user"),
+          dsum(col("value")).as("sum_value"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_us"))
+        .orderBy("event_type")
+    }),
+
     // custom DataSource V2 source: the deterministic synthetic-events
     // generator — partition planning and column pruning implemented by
     // the source itself (SynthSourceSpec asserts both); one splitmix64
@@ -1542,6 +1581,21 @@ object SparkEntry {
         |                  ELSE width * height * (CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 6 ELSE 1 END)
         |             END)::BIGINT AS n_bytes
         |FROM wh ORDER BY doc_id""".stripMargin,
+
+    // both round-trip formats aggregate to exactly the parquet truth
+    "q_source_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_source_csv" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the DSv2 generator's row math, closed-form: one splitmix64 over
     // (event_id + seed) in unsigned HUGEINT (same 6-stage chain as the
