@@ -37,6 +37,72 @@ import org.apache.spark.sql.SparkSession
   */
 object Scale {
 
+  /** Host-contention meter backing the round-4 pre-registered
+    * quiet-gate (BENCH.md). This container's /proc/stat is the HOST's
+    * CPU accounting, so two foreign-load signals are directly
+    * measurable rather than inferred from timing variance:
+    *
+    *  - **foreign busy%**: non-idle share of all host CPUs over an
+    *    interval in which THIS process runs nothing — any busy is
+    *    other tenants (plus negligible daemon noise).
+    *  - **steal%**: hypervisor-stolen share. Steal only accrues while
+    *    we have runnable threads, so it is probed DURING a short
+    *    multi-thread spin (an idle box shows zero steal even under a
+    *    saturated hypervisor) and recorded during each timed pass.
+    *
+    * Round 3's gate failure was diagnosed (BENCH.md) as exactly this
+    * contention: one protocol round measured efficiency 1.032 — four
+    * CONCURRENT JVMs each beating the lone JVM, impossible on a quiet
+    * host. The round-4 protocol gates round STARTS on these signals
+    * and voids rounds whose PASSES were stolen from, both rules fixed
+    * in writing before the run. */
+  private object HostMeter {
+    final case class Cpu(busy: Long, steal: Long, total: Long)
+
+    def sample(): Cpu = {
+      val parts = scala.util.Using.resource(
+        scala.io.Source.fromFile("/proc/stat"))(_.getLines().next())
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      // fields: user nice system idle iowait irq softirq steal ...
+      val idle = parts(3) + (if (parts.length > 4) parts(4) else 0L)
+      val steal = if (parts.length > 7) parts(7) else 0L
+      Cpu(parts.sum - idle, steal, parts.sum)
+    }
+
+    /** (busyPct, stealPct) of host CPU over the execution of `f`. */
+    def during[A](f: => A): (A, Double, Double) = {
+      val a = sample(); val r = f; val b = sample()
+      val tot = math.max(1L, b.total - a.total).toDouble
+      (r, 100.0 * (b.busy - a.busy) / tot, 100.0 * (b.steal - a.steal) / tot)
+    }
+
+    /** Spin `threads` busy threads for `millis` — the probe load under
+      * which steal becomes observable. The mix result is published to
+      * a volatile so the JIT cannot eliminate the loop. */
+    @volatile private var sink: Long = 0L
+    def spin(threads: Int, millis: Long): Unit = {
+      val ts = (1 to threads).map { i =>
+        new Thread(() => {
+          val deadline = System.nanoTime() + millis * 1000000L
+          var x = 0x9E3779B97F4A7C15L * i
+          while (System.nanoTime() < deadline) {
+            var k = 0
+            while (k < 4096) { // splitmix64 mix step
+              x += 0x9E3779B97F4A7C15L
+              var z = x
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              x ^= z ^ (z >>> 31)
+              k += 1
+            }
+          }
+          sink ^= x
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+  }
+
   /** JDK17 module opens Spark needs outside spark-submit — mirrors
     * build.sbt (forked child JVMs don't inherit sbt's javaOptions). */
   private val jdk17AddOpens = Seq(
@@ -201,28 +267,90 @@ object Scale {
       }
 
       // Alternate 1-JVM and 4-JVM passes (fresh JVMs each pass → both
-      // sides equally JIT-cold). GRADED STATISTIC (round-3 protocol,
+      // sides equally JIT-cold). GRADED STATISTIC (round-4 protocol,
       // pre-registered in BENCH.md before the run): the MEDIAN of
       // per-round efficiencies t1_r / max(t4_r). Pairing each 1-JVM
       // pass with its adjacent 4-JVM pass cancels slow box drift
       // (thermal / page-cache state changes on a scale of hours, not
-      // the ~6 min of one round), and the median over ≥3 rounds
-      // absorbs the known first-burst outlier without cherry-picking
-      // the way min-of-rounds can. Min-based numbers stay in the JSON
-      // as the round-2-comparable secondary.
-      val roundsBuf = collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
-      for (round <- 1 to trials) {
-        val (s1, w1) = pass(1)
-        System.err.println(f"[scale] round=$round 1-jvm: child=${s1.head}%.1fs wall=$w1%.1fs")
-        val (s4, w4) = pass(4)
-        System.err.println(f"[scale] round=$round 4-jvm: children=${s4.map(x => f"$x%.1f").mkString(",")}s wall=$w4%.1fs")
-        roundsBuf += ((s1.head, s4))
+      // the ~6 min of one round), and the median over the rounds
+      // absorbs outliers without min-style cherry-picking. Min-based
+      // numbers stay in the JSON as the round-2/3-comparable secondary.
+      //
+      // Round-4 variance controls (both pre-registered in BENCH.md;
+      // round 3 lost the gate to measured HOST contention, not engine
+      // inefficiency — one round's four concurrent JVMs each beat the
+      // lone JVM):
+      //  - QUIET-GATE before each pass: foreign busy ≤ 8% of host CPU
+      //    over a 3 s idle observation AND steal ≤ 2% during a
+      //    2 s × 8-thread spin probe; retry every 20 s, abort the
+      //    protocol (infrastructure error — restart allowed) after
+      //    15 min of waiting at any single gate.
+      //  - VOID RULE: a round in which hypervisor steal exceeded 3%
+      //    of host CPU during either timed pass is voided and re-run
+      //    (max 2 voids per round index; a third contaminated attempt
+      //    counts as measured). Steal is recorded per pass either way.
+      def quietGate(tag: String): Double = {
+        val deadline = System.nanoTime() + 15L * 60 * 1000000000L
+        val t0 = System.nanoTime()
+        var attempt = 0
+        while (true) {
+          attempt += 1
+          val (_, busyIdle, _) = HostMeter.during(Thread.sleep(3000))
+          val (_, _, stealProbe) = HostMeter.during(HostMeter.spin(8, 2000))
+          if (busyIdle <= 8.0 && stealProbe <= 2.0) {
+            val waited = (System.nanoTime() - t0) / 1e9
+            System.err.println(
+              f"[scale] gate OPEN ($tag) busy=$busyIdle%.1f%% steal=$stealProbe%.1f%% waited=$waited%.0fs")
+            return waited
+          }
+          System.err.println(
+            f"[scale] gate busy ($tag) busy=$busyIdle%.1f%% steal=$stealProbe%.1f%% attempt=$attempt — waiting 20s")
+          if (System.nanoTime() > deadline)
+            sys.error(s"quiet-gate deadline (15 min) exceeded at $tag — " +
+              "host never went quiet; protocol aborted (infrastructure " +
+              "error per pre-registration; a restart is permitted)")
+          Thread.sleep(20000)
+        }
+        0.0 // unreachable
+      }
+
+      // per kept round: (t1, s4, steal1, steal4, gateWaitSec)
+      val roundsBuf = collection.mutable.ArrayBuffer
+        .empty[(Double, Array[Double], Double, Double, Double)]
+      var voided = 0
+      var round = 1
+      while (round <= trials) {
+        var attempts = 0
+        var kept = false
+        while (!kept) {
+          attempts += 1
+          val w0 = quietGate(s"round $round 1-jvm")
+          val ((s1, w1), busy1, steal1) = HostMeter.during(pass(1))
+          System.err.println(
+            f"[scale] round=$round 1-jvm: child=${s1.head}%.1fs wall=$w1%.1fs busy=$busy1%.1f%% steal=$steal1%.2f%%")
+          val wG = quietGate(s"round $round 4-jvm")
+          val ((s4, w4), busy4, steal4) = HostMeter.during(pass(4))
+          System.err.println(
+            f"[scale] round=$round 4-jvm: children=${s4.map(x => f"$x%.1f").mkString(",")}s wall=$w4%.1fs busy=$busy4%.1f%% steal=$steal4%.2f%%")
+          if ((steal1 > 3.0 || steal4 > 3.0) && attempts <= 2) {
+            voided += 1
+            System.err.println(
+              f"[scale] round=$round VOIDED (steal1=$steal1%.2f%% steal4=$steal4%.2f%% > 3%%) — re-running (attempt $attempts of 3)")
+          } else {
+            if (steal1 > 3.0 || steal4 > 3.0)
+              System.err.println(
+                f"[scale] round=$round contaminated but COUNTED (3rd attempt; pre-registered cap)")
+            roundsBuf += ((s1.head, s4, steal1, steal4, w0 + wG))
+            kept = true
+          }
+        }
+        round += 1
       }
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      val perRound = roundsBuf.map { case (t1r, s4) => (t1r, s4.max, t1r / s4.max) }
+      val perRound = roundsBuf.map { case (t1r, s4, _, _, _) => (t1r, s4.max, t1r / s4.max) }
       perRound.zipWithIndex.foreach { case ((a, b, e), i) =>
         System.err.println(f"[scale] round=${i + 1} t1=$a%.1fs t4max=$b%.1fs eff=$e%.3f")
       }
@@ -236,8 +364,11 @@ object Scale {
       val effRounds = perRound.map { case (_, _, e) => f"$e%.3f" }.mkString("[", ",", "]")
       val t1Rounds = perRound.map { case (a, _, _) => f"$a%.2f" }.mkString("[", ",", "]")
       val t4Rounds = perRound.map { case (_, b, _) => f"$b%.2f" }.mkString("[", ",", "]")
+      val steal1R = roundsBuf.map { case (_, _, s, _, _) => f"$s%.2f" }.mkString("[", ",", "]")
+      val steal4R = roundsBuf.map { case (_, _, _, s, _) => f"$s%.2f" }.mkString("[", ",", "]")
+      val gateWaits = roundsBuf.map { case (_, _, _, _, w) => f"$w%.0f" }.mkString("[", ",", "]")
       println(
-        s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","statistic":"median_of_round_ratios","mode":"multijvm","units_n":1,"units_4n":4,"cores_per_unit":$n,"rounds":$trials,"sec_n":${f"$t1%.2f"},"sec_4n":${f"$t4%.2f"},"efficiency_rounds":$effRounds,"sec_n_rounds":$t1Rounds,"sec_4n_rounds":$t4Rounds,"min_based_efficiency":${f"${t1min / t4min}%.3f"},"pages":$pages,"docs_per_sec_n":${f"${pages / t1}%.0f"},"docs_per_sec_4n":${f"${4 * pages / t4}%.0f"},"pages_path":"$path"}""")
+        s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","statistic":"median_of_round_ratios","mode":"multijvm","units_n":1,"units_4n":4,"cores_per_unit":$n,"rounds":$trials,"sec_n":${f"$t1%.2f"},"sec_4n":${f"$t4%.2f"},"efficiency_rounds":$effRounds,"sec_n_rounds":$t1Rounds,"sec_4n_rounds":$t4Rounds,"min_based_efficiency":${f"${t1min / t4min}%.3f"},"steal_pct_n_rounds":$steal1R,"steal_pct_4n_rounds":$steal4R,"gate_wait_sec_rounds":$gateWaits,"voided_rounds":$voided,"pages":$pages,"docs_per_sec_n":${f"${pages / t1}%.0f"},"docs_per_sec_4n":${f"${4 * pages / t4}%.0f"},"pages_path":"$path"}""")
       return
     }
 

@@ -51,6 +51,13 @@ final case class GraftBandJoin(first: Expression, second: Expression,
         if (b == null || b.asInstanceOf[Number].longValue < 0L)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName bandSeconds must be a non-negative constant")
+        else if (b.asInstanceOf[Number].longValue > Long.MaxValue / 1000000L)
+          // the seconds→micros conversion below would overflow; fail at
+          // analysis as a clean type-check error instead of letting
+          // Math.multiplyExact throw ArithmeticException at planning
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName bandSeconds must be <= ${Long.MaxValue / 1000000L} " +
+              "(seconds-to-microseconds conversion must not overflow)")
         else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName bandSeconds must be a foldable INT/BIGINT, " +

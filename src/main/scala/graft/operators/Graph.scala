@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pin an intermediate frame, truncating its Catalyst lineage. With
+    * `durableDir = None` (default): `localCheckpoint` — executor-block
+    * storage, fastest on a single box, but a lost executor mid-job
+    * kills the job (no lineage survives to recompute from). With
+    * `Some(dir)`: parquet write-read under `dir/name` — durable on the
+    * cluster's shared FS, so a task retry after executor loss simply
+    * re-reads the files instead of failing the job. Same seam the CC
+    * loop's [[ConnectedComponents.Reliable]] provides (round-3 verdict
+    * item 6 threaded it through the OTHER iterative/pinned operators).
+    * `dir` identifies one logical invocation; callers pass a fresh dir
+    * per run (names are deterministic within it, so a re-invocation
+    * over the same dir overwrites cleanly). */
+  private def pin(df: DataFrame, durableDir: Option[String],
+                  name: String): DataFrame =
+    durableDir match {
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Per-node triangle participation over an undirected simple graph:
     * `(node_id, degree, n_tri)`, one row per node of nonzero degree.
     *
@@ -31,7 +53,8 @@ object Graph {
     * structurally bounded, not salted away. Three shuffle joins, all
     * equi-keyed; no driver collection at any size.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+                     durableDir: Option[String] = None): DataFrame = {
     // Pin degrees and the oriented edge list eagerly: they feed 2 and
     // 3 consumers respectively, and Catalyst does NOT reuse the
     // subtree across them (column pruning specializes each copy below
@@ -39,11 +62,9 @@ object Graph {
     // this query unpinned). Without pinning, the possibly-expensive
     // edge derivation (e.g. [[copurchaseEdges]]' self-join+distinct)
     // executes once per consumer — certain O(edges) waste at every
-    // scale. localCheckpoint(eager) materializes once to executor
-    // blocks; same single-box-speed-vs-executor-loss tradeoff as
-    // Canonicalize/CC document — an executor loss here fails the one
-    // job, and a job retry recomputes from source.
-    val deg = degrees(edges).localCheckpoint(true)
+    // scale. The pin is localCheckpoint by default (single box) or the
+    // durable parquet seam (clusters) — see [[pin]].
+    val deg = pin(degrees(edges), durableDir, "tri-deg")
 
     // attach endpoint degrees, orient by (degree, id)
     val withDeg = edges
@@ -52,11 +73,11 @@ object Graph {
     val srcFirst = col("sd") < col("dd") ||
       (col("sd") === col("dd") && col("src") < col("dst"))
     // oriented edge u→v carrying v's degree (needed to order wedge arms)
-    val oriented = withDeg.select(
+    val oriented = pin(withDeg.select(
       when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
-      when(srcFirst, col("dd")).otherwise(col("sd")).as("dv"))
-      .localCheckpoint(true)
+      when(srcFirst, col("dd")).otherwise(col("sd")).as("dv")),
+      durableDir, "tri-oriented")
 
     // wedges centered at u: out-neighbor pairs (y ≺ z in the same order)
     val a = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
@@ -97,17 +118,18 @@ object Graph {
   def pageRankFixedPoint(
       edges: DataFrame,
       iterations: Int = 10,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4,
+      durableDir: Option[String] = None): DataFrame = {
     // both directions + out-degrees (== degree; no dangling nodes by
     // construction on an undirected graph). Pinned eagerly: the loop
     // reads both EVERY iteration, and nothing else reuses the subtree
     // (measured 24 input scans unpinned at 10 iterations) — see the
-    // tradeoff note in [[triangleCounts]].
-    val ed = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
-      .localCheckpoint(true)
+    // tradeoff note in [[triangleCounts]]; durable variant via [[pin]].
+    val ed = pin(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))),
+      durableDir, "pr-edges")
+    val deg = pin(ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("od")),
+      durableDir, "pr-deg")
 
     var rank = deg.select(col("id"), lit(1000000L).as("rank"))
     for (i <- 1 to iterations) {
@@ -121,7 +143,7 @@ object Graph {
         .join(recv, Seq("id"), "left")
         .select(col("id"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
-        rank = rank.localCheckpoint(true)
+        rank = pin(rank, durableDir, s"pr-rank-$i")
     }
     rank.select(col("id").as("node_id"), col("rank").as("rank_fp"))
   }

@@ -27,17 +27,35 @@ object Streaming {
   /** Drain a (bounded) streaming frame into an in-memory table via
     * AvailableNow and return it as a batch DataFrame. Memory sink is
     * test/driver plumbing only — production writes parquet/Kafka; the
-    * streaming QUERY (the part that must scale) is identical. */
-  def drainAvailableNow(df: DataFrame, mode: OutputMode): DataFrame = {
+    * streaming QUERY (the part that must scale) is identical.
+    *
+    * `statePartitions`, when set, pins `spark.sql.shuffle.partitions`
+    * for exactly the duration of the drain (prior conf state restored,
+    * set-vs-unset preserved). A streaming query FIXES its state-store
+    * partition count at its first batch, and per-batch commit overhead
+    * is linear in it — a stream-stream join carries four state stores
+    * per partition, and the unpinned 32-partition drain measured 8.2 s
+    * vs 3.2 s at 8 (BENCH.md round 3). Bounded drains want a small
+    * value (~8); a production unbounded stream sizes this by sustained
+    * row rate instead. Encoded here as an argument so callers get the
+    * finding as code, not BENCH.md lore (round-3 verdict item 8). */
+  def drainAvailableNow(df: DataFrame, mode: OutputMode,
+                        statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${nameCounter.getAndIncrement()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // materialize before dropping the registration
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
+    val confs = statePartitions.toSeq.map(n =>
+      "spark.sql.shuffle.partitions" -> n.toString)
+    graft.sources.Bucketed.withConfs(spark, confs) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // materialize before dropping the registration (and before the
+      // pinned confs are restored — the drained table's plan executes
+      // here, inside the scope)
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    }
   }
 
   /** Hourly per-type event counts + exact value sums as a stream.
@@ -65,7 +83,8 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("sum_value"))
-    drainAvailableNow(agg, OutputMode.Complete())
+    // bounded drain → small state-partition count (see drainAvailableNow)
+    drainAvailableNow(agg, OutputMode.Complete(), statePartitions = Some(8))
       .select(unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("cnt"), col("sum_value"))
   }
@@ -92,7 +111,10 @@ object Streaming {
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.withWatermark("ts", s"${gapMs / 1000} seconds")
+    // milliseconds directly: `gapMs / 1000 seconds` truncates, so a
+    // sub-second (or non-whole-second) gap would silently shrink the
+    // late-event tolerance below the gap the state logic assumes
+    events.withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>

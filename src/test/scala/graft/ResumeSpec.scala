@@ -51,6 +51,46 @@ class ResumeSpec extends AnyFunSuite {
     info(f"cold=$coldSec%.1fs warm=$warmSec%.1fs (informational)")
   }
 
+  test("sink snapshots: readAsOf reconstructs a frozen snapshot after later commits mutate the table") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-tt").toString
+    def frame(rows: (String, String, String)*) =
+      rows.toDF("subj", "pred", "obj")
+
+    // commit 1 (overwrite): {a,b}
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2")), path, "r1", nParts = 4)
+    val snap1 = TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(snap1 == Set(("a", "p", "1"), ("b", "p", "2")))
+
+    // commit 2 (overwrite): table REPLACED with {c}
+    TripleSink.write(frame(("c", "p", "3")), path, "r2", nParts = 4)
+    assert(TripleSink.read(spark, path)
+      .select("subj").as[String].collect().toSet == Set("c"))
+
+    // time travel: as-of r1 still equals the frozen first snapshot
+    val asOf1 = TripleSink.readAsOf(spark, path, "r1")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(asOf1 == snap1, "readAsOf(r1) must be unaffected by the r2 overwrite")
+
+    // commit 3 (append): latest = r2 ∪ r3; as-of r2 stays {c}
+    TripleSink.write(frame(("d", "p", "4")), path, "r3", nParts = 4, append = true)
+    assert(TripleSink.read(spark, path)
+      .select("subj").as[String].collect().toSet == Set("c", "d"))
+    assert(TripleSink.readAsOf(spark, path, "r2")
+      .select("subj").as[String].collect().toSet == Set("c"))
+
+    // snapshot log: oldest-first seq, per-snapshot total rows
+    val log = TripleSink.snapshots(path)
+    assert(log.map(s => (s._1, s._2, s._3)) ==
+      Seq((0, "r1", 2L), (1, "r2", 1L), (2, "r3", 2L)))
+
+    // unknown run id is a clean error
+    intercept[IllegalArgumentException] {
+      TripleSink.readAsOf(spark, path, "nope")
+    }
+  }
+
   test("partial run resumes: only missing partitions recompute") {
     val dir = Files.createTempDirectory("graft-resume2").toString
     val lin = new graft.plans.Lineage(spark, dir, "rX")
