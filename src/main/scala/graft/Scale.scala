@@ -332,14 +332,17 @@ object Scale {
           val ((s4, w4), busy4, steal4) = HostMeter.during(pass(4))
           System.err.println(
             f"[scale] round=$round 4-jvm: children=${s4.map(x => f"$x%.1f").mkString(",")}s wall=$w4%.1fs busy=$busy4%.1f%% steal=$steal4%.2f%%")
-          if ((steal1 > 3.0 || steal4 > 3.0) && attempts <= 2) {
+          // v2 void cap: ONE re-run per round index (v1's two-re-run cap
+          // met chronic burst steal and blew the session wall-clock —
+          // see BENCH.md round-4 v1 abort record)
+          if ((steal1 > 3.0 || steal4 > 3.0) && attempts <= 1) {
             voided += 1
             System.err.println(
-              f"[scale] round=$round VOIDED (steal1=$steal1%.2f%% steal4=$steal4%.2f%% > 3%%) — re-running (attempt $attempts of 3)")
+              f"[scale] round=$round VOIDED (steal1=$steal1%.2f%% steal4=$steal4%.2f%% > 3%%) — re-running (attempt $attempts of 2)")
           } else {
             if (steal1 > 3.0 || steal4 > 3.0)
               System.err.println(
-                f"[scale] round=$round contaminated but COUNTED (3rd attempt; pre-registered cap)")
+                f"[scale] round=$round contaminated but COUNTED (2nd attempt; pre-registered cap)")
             roundsBuf += ((s1.head, s4, steal1, steal4, w0 + wG))
             kept = true
           }

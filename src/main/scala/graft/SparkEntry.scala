@@ -919,6 +919,60 @@ object SparkEntry {
           .localCheckpoint(true)
       }),
 
+    // ---- dynamic partition pruning: THE scan-reduction feature for
+    // partitioned 100 TB fact tables — the runtime values of a
+    // filtered dimension prune fact PARTITIONS before they are read
+    // (a static planner cannot: the surviving keys are only known
+    // after the dim filter runs). The fact here is orders re-laid-out
+    // partitioned by priority (the one-time write is part of the
+    // query, same honesty as q_join_bucketed); the dim keeps 2 of 5
+    // priorities, so 3 of 5 fact partitions are never scanned —
+    // PlanGuardSpec pins `dynamicpruning` in the scan's
+    // PartitionFilters plus the actual partition count read. ----
+    "q_join_dpp" -> ((s, d) => {
+      val path = scratchDir("graft_dpp_fact")
+      t(s, d, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = t(s, d, "orders").select(col("o_orderpriority").as("pr"))
+        .distinct().filter(col("pr").isin("1-URGENT", "2-HIGH"))
+      fact.join(dim, col("o_orderpriority") === col("pr"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint(true)
+    }),
+
+    // ---- runtime bloom-filter join pruning: when the dim side of a
+    // selective join is too big to broadcast (the 100 TB shuffle-join
+    // regime — broadcast is pinned off here to model it), Spark builds
+    // a bloom filter over the dim's surviving join keys and pushes
+    // might_contain() into the FACT scan, dropping most fact rows
+    // before the shuffle instead of after it. Thresholds are lowered
+    // to the test SF (the default application-side floor is 10 GB);
+    // PlanGuardSpec pins the bloom probe in the executed fact scan
+    // filter. Values are oracle-identical to the plain join. ----
+    "q_join_bloom" -> ((s, d) =>
+      Bucketed.withConfs(s, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")) {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderdate")
+        li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_year")
+          .localCheckpoint(true)
+      }),
+
     // ---- graph analytics over the part co-purchase graph (115k
     // edges / 414k triangles at sf0.01 — dense enough that degree
     // orientation genuinely matters) ----
@@ -1955,6 +2009,25 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
         |         AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the DPP relayout is value-transparent: the pruned read equals a
+    // plain filtered aggregate over the original table
+    "q_join_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bloom pruning is value-transparent too (might_contain has no
+    // false negatives; false positives are re-filtered by the join)
+    "q_join_bloom" ->
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n_items,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |         AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_graph_triangles" ->

@@ -117,7 +117,56 @@ object TripleSink {
       (seq, runId, rows)
     }
 
+  /** Table maintenance 1 of 2 — snapshot expiration (Iceberg's
+    * `expireSnapshots`): drop all but the newest `keepLast` manifests,
+    * then garbage-collect every data directory no SURVIVING snapshot
+    * references. Retention is what bounds a 10^12-row table's storage:
+    * without it every overwrite retains its predecessor's files
+    * forever. Time travel to an expired snapshot becomes a clean
+    * error; `read` (the latest snapshot) is never affected. Returns
+    * (manifests deleted, data run-dirs deleted). */
+  def expireSnapshots(path: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val all = manifests(path)
+    val (expire, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val live = keep.flatMap(m => visibleRuns(path, m)).toSet
+    expire.foreach(m => Files.delete(m._3))
+    val dataDir = root(path).resolve("data")
+    val dead: Seq[Path] = if (!Files.isDirectory(dataDir)) Nil else {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(dataDir)) { s =>
+        s.iterator().asScala.filter { p =>
+          val name = p.getFileName.toString
+          name.startsWith("run=") && !live.contains(name.stripPrefix("run="))
+        }.toList
+      }
+    }
+    dead.foreach(deleteRecursively)
+    (expire.size, dead.size)
+  }
+
+  /** Table maintenance 2 of 2 — data-file compaction (Iceberg's
+    * `rewriteDataFiles`): materialize the LATEST snapshot as one new
+    * overwrite commit, collapsing the accumulated per-append run
+    * directories (and their small files) back to `nParts` sorted
+    * files. Values are untouched — the new snapshot reads identically
+    * — and history is preserved: earlier snapshots stay time-travelable
+    * until [[expireSnapshots]] reclaims them. At 10^12 rows this is
+    * the periodic job that keeps file counts (and scan-planning cost)
+    * bounded under a steady append stream. */
+  def compact(spark: SparkSession, path: String, runId: String,
+              nParts: Int = 32): Unit =
+    write(read(spark, path), path, runId, nParts, append = false)
+
   // ---- internals -----------------------------------------------------
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p))
+      scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toList)
+        .foreach(deleteRecursively)
+    Files.delete(p)
+  }
 
   private def root(path: String): Path = Paths.get(path.stripPrefix("file:"))
 

@@ -97,4 +97,55 @@ class PlanGuardSpec extends AnyFunSuite {
     // a repartition per window op multiplies shuffle volume at scale
     assert(count(plan, "Exchange") <= 2, plan)
   }
+
+  test("dynamic partition pruning reaches the partitioned fact scan (q_join_dpp shape)") {
+    import org.apache.spark.sql.functions._
+    // the q_join_dpp query body minus the final localCheckpoint (which
+    // replaces the executed plan with a checkpoint scan)
+    val path = java.nio.file.Files.createTempDirectory("graft-dpp-spec").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = orders.select(col("o_orderpriority").as("pr"))
+      .distinct().filter(col("pr").isin("1-URGENT", "2-HIGH"))
+    val q = fact.join(dim, col("o_orderpriority") === col("pr"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    val plan = executed(q)
+    // at 100 TB the pruned partitions are never READ — the runtime
+    // subquery must appear inside the scan's PartitionFilters, not as
+    // a post-scan Filter
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression in the fact scan:\n$plan")
+    // value sanity: only the two surviving priorities aggregated
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1-URGENT", "2-HIGH"))
+  }
+
+  test("runtime bloom filter probes the fact scan before the shuffle (q_join_bloom shape)") {
+    import org.apache.spark.sql.functions._
+    val plan = graft.sources.Bucketed.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")) {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val urgent = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val q = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"))
+      executed(q)
+    }
+    // the bloom probe must land on the FACT side scan: rows are
+    // dropped before the exchange, which is the whole point at scale
+    assert(plan.contains("might_contain"),
+      s"no bloom-filter probe in the executed plan:\n$plan")
+    // and the join stayed a shuffle join (the regime bloom exists for)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"join unexpectedly broadcast — bloom would be moot:\n$plan")
+  }
 }

@@ -91,6 +91,44 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("sink maintenance: compaction preserves values and history; expiration reclaims dead runs") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-maint").toString
+    def frame(rows: (String, String, String)*) =
+      rows.toDF("subj", "pred", "obj")
+
+    // an append stream: r1 ∪ r2 ∪ r3, three run directories on disk
+    TripleSink.write(frame(("a", "p", "1")), path, "r1", nParts = 4)
+    TripleSink.write(frame(("b", "p", "2")), path, "r2", nParts = 4, append = true)
+    TripleSink.write(frame(("c", "p", "3")), path, "r3", nParts = 4, append = true)
+    val before = TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(before == Set(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")))
+
+    // compact: same values, ONE new run dir carries the whole table,
+    // history (the pre-compaction snapshot) still time-travelable
+    TripleSink.compact(spark, path, "compact-1", nParts = 2)
+    val after = TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(after == before, "compaction changed table values")
+    assert(TripleSink.read(spark, path).select("run_id").distinct()
+      .as[String].collect().toSeq == Seq("compact-1"))
+    assert(TripleSink.readAsOf(spark, path, "r2")
+      .select("subj").as[String].collect().toSet == Set("a", "b"))
+
+    // expire all but the last snapshot: r1..r3 manifests go; their run
+    // dirs are unreferenced by the survivor and are reclaimed
+    val (mDel, dDel) = TripleSink.expireSnapshots(path, keepLast = 1)
+    assert(mDel == 3 && dDel == 3, s"expected (3,3), got ($mDel,$dDel)")
+    assert(TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet == before)
+    intercept[IllegalArgumentException] {
+      TripleSink.readAsOf(spark, path, "r2") // expired → clean error
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path/data/run=r1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$path/data/run=compact-1")))
+  }
+
   test("partial run resumes: only missing partitions recompute") {
     val dir = Files.createTempDirectory("graft-resume2").toString
     val lin = new graft.plans.Lineage(spark, dir, "rX")
