@@ -110,7 +110,7 @@ class PlanGuardSpec extends AnyFunSuite {
       .distinct().filter(col("pr").isin("1-URGENT", "2-HIGH"))
     val q = fact.join(dim, col("o_orderpriority") === col("pr"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_orders"))
     val plan = executed(q)
     // at 100 TB the pruned partitions are never READ — the runtime
     // subquery must appear inside the scan's PartitionFilters, not as
@@ -137,7 +137,7 @@ class PlanGuardSpec extends AnyFunSuite {
         .select("o_orderkey", "o_orderdate")
       val q = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg(count(lit(1)).as("n_items"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_items"))
       executed(q)
     }
     // the bloom probe must land on the FACT side scan: rows are
