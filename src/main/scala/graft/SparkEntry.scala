@@ -1006,6 +1006,30 @@ object SparkEntry {
       graft.sources.TripleSink.readAsOf(s, path, "r1")
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred", "obj")
+    }),
+
+    // Iceberg-emulation TABLE MAINTENANCE (A16, round-4): an append
+    // stream accumulates three run directories; compact() rewrites the
+    // live snapshot as one commit and expireSnapshots() reclaims the
+    // now-unreferenced runs. Reading the compacted table must be
+    // value-identical to the logical union of the appends — which is
+    // what DuckDB mirrors. Per-commit/reclaim mechanics (file counts,
+    // expired-snapshot errors) are spec-asserted in ResumeSpec.
+    "q_sink_compact" -> ((s, d) => {
+      val path = scratchDir("graft_sink_compact")
+      def seg(lo: Int, hi: Int) = t(s, d, "customer")
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(seg(0, 100), path, "r1", nParts = 8)
+      graft.sources.TripleSink.write(seg(100, 200), path, "r2", nParts = 8, append = true)
+      graft.sources.TripleSink.write(seg(200, 300), path, "r3", nParts = 8, append = true)
+      graft.sources.TripleSink.compact(s, path, "compact-1", nParts = 4)
+      graft.sources.TripleSink.expireSnapshots(path, keepLast = 1)
+      graft.sources.TripleSink.read(s, path)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+        .localCheckpoint(true)
     })
   )
 
@@ -2056,6 +2080,13 @@ object SparkEntry {
 
     // the time-travel read reconstructs commit r1's frame exactly
     "q_sink_asof" ->
+      """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |FROM customer WHERE c_custkey <= 300
+        |ORDER BY subj, pred, obj""".stripMargin,
+
+    // compaction + expiration are value-transparent: the surviving
+    // snapshot reads as the union of the three appends
+    "q_sink_compact" ->
       """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
         |FROM customer WHERE c_custkey <= 300
         |ORDER BY subj, pred, obj""".stripMargin
