@@ -1021,7 +1021,10 @@ object SparkEntry {
         .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
         .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
           col("c_mktsegment").as("obj"))
-      graft.sources.TripleSink.write(seg(0, 100), path, "r1", nParts = 8)
+      // custkeys are 0-based in the testdata: the first range starts
+      // below 0 so key 0 lands in r1 and the three appends cover
+      // exactly the oracle's c_custkey <= 300
+      graft.sources.TripleSink.write(seg(-1, 100), path, "r1", nParts = 8)
       graft.sources.TripleSink.write(seg(100, 200), path, "r2", nParts = 8, append = true)
       graft.sources.TripleSink.write(seg(200, 300), path, "r3", nParts = 8, append = true)
       graft.sources.TripleSink.compact(s, path, "compact-1", nParts = 4)
