@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * sized like the sf0.1 tables.
   *
   * Shape: a 12M-row parquet fact with an incompressible 64-byte
-  * payload, half of it on ONE hot key (~16× the bytes of a median
+  * payload, half of it on ONE hot key (~30× the rows of a median
   * shuffle partition at 32 partitions), shuffle-joined (broadcast off
   * — at 100 TB the dim side of a skewed join is often too big to
   * broadcast) to a 1001-key dim, then aggregated over the payload so
