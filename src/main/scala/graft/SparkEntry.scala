@@ -643,6 +643,24 @@ object SparkEntry {
       graft.streaming.Streaming.triplesIngest(s, d)
         .orderBy("url", "sent_idx", "subj", "pred", "obj", "rule_id")),
 
+    // streaming ingest COMMITTING INTO THE SNAPSHOT TABLE (the Iceberg
+    // streaming pattern): one idempotent append snapshot per
+    // micro-batch (runId = batch id), exactly-once from checkpoint
+    // ledger + idempotent commits with no transactional sink API. The
+    // read-back must equal the memory-sink drain row-for-row (spec:
+    // StreamingSpec, incl. simulated mid-commit batch retry); the
+    // pipeline itself is model-based, so this row is rows-only like
+    // q_stream_triples.
+    "q_stream_sink" -> ((s, d) => {
+      val base = scratchDir("graft_stream_sink")
+      graft.streaming.Streaming.triplesIngestToSink(
+        s, d, s"$base/table", s"$base/ckpt")
+      graft.sources.TripleSink.read(s, s"$base/table")
+        .drop("part_id", "run_id")
+        .orderBy("url", "sent_idx", "subj", "pred", "obj", "rule_id")
+        .localCheckpoint(true)
+    }),
+
     // JSON-lines source format: events written as canonical JSONL then
     // read back under an explicit schema and aggregated — the oracle
     // aggregates the ORIGINAL parquet, so the query only passes if the

@@ -235,6 +235,38 @@ object Streaming {
     * ledger keyed by input), enforced by the engine instead of our
     * manifest. Returns the total row count in the sink after the
     * drain. */
+  /** Streaming ingest into the SNAPSHOT TABLE ([[graft.sources
+    * .TripleSink]]) — the Iceberg streaming-commit pattern, vs
+    * [[triplesIngestDurable]]'s flat file sink. Each micro-batch
+    * commits ONE append snapshot whose runId is the deterministic
+    * batch id, which makes the commit idempotent: Structured
+    * Streaming's contract is that a batch that fails mid-commit is
+    * retried under the SAME id, and TripleSink.write re-committing an
+    * existing runId REPLACES that run's data files rather than
+    * duplicating them. Exactly-once end-to-end therefore needs no
+    * transactional sink API: the checkpoint ledger pins which input
+    * files each batch id consumed, and the manifest store pins which
+    * output snapshot each batch id produced. The accumulated table is
+    * time-travelable per batch and compactable/expirable like any
+    * other snapshot table (q_sink_compact). Returns the final table
+    * row count. */
+  def triplesIngestToSink(spark: SparkSession, sfDir: String,
+                          tablePath: String, checkpointDir: String,
+                          nParts: Int = 16): Long = {
+    val q = rawTriplesStream(spark, sfDir, nParts)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TripleSink.write(batch, tablePath, f"batch-$id%06d",
+          nParts = 8, append = true)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.TripleSink.read(spark, tablePath).count()
+  }
+
   def triplesIngestDurable(spark: SparkSession, sfDir: String,
                            outDir: String, checkpointDir: String,
                            nParts: Int = 16): Long = {

@@ -213,6 +213,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == direct.count())
   }
 
+  test("snapshot-sink ingest: per-batch append snapshots, idempotent batch retry, restart no-op") {
+    import graft.sources.TripleSink
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_sink").toString
+    val table = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val sfDir = "/root/testdata/sf0.001"
+    val n1 = Streaming.triplesIngestToSink(spark, sfDir, table, ckpt)
+    assert(n1 > 0)
+    // content == the memory-sink drain of the same stream
+    assert(n1 == Streaming.triplesIngest(spark, sfDir).count())
+    // one append snapshot per committed micro-batch, batch-id run ids
+    val snaps = TripleSink.snapshots(table)
+    assert(snaps.nonEmpty && snaps.forall(_._2.startsWith("batch-")))
+    // simulated mid-commit retry: Structured Streaming re-runs a failed
+    // batch under the SAME id — re-committing batch 0's data must
+    // REPLACE its files, not duplicate them
+    val batch0 = TripleSink.readAsOf(spark, table, snaps.head._2)
+      .drop("part_id", "run_id")
+      // materialize BEFORE the write: the commit overwrites the very
+      // directory this frame lazily reads from
+      .localCheckpoint(true)
+    TripleSink.write(batch0, table, snaps.head._2, nParts = 8, append = true)
+    assert(TripleSink.read(spark, table).count() == n1,
+      "idempotent batch re-commit changed the table")
+    // restart over unchanged input: checkpoint ledger → zero new batches
+    val n2 = Streaming.triplesIngestToSink(spark, sfDir, table, ckpt)
+    assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
+  }
+
   test("triplesIngest (streamed A2->A10) == the batch stages, value for value") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
