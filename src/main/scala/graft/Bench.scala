@@ -63,7 +63,14 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = all.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Host-calibration fields (HostMeter): absolute single-thread spin
+    // time, plus steal% during an 8-thread probe — cross-round bench
+    // comparisons on this shared box are meaningless without them
+    // (round 4 measured identical code 1.36× slower purely from
+    // neighbor contention; BENCH.md "the box, not the code").
+    val calibMs = HostMeter.calibSpinMs()
+    val (_, _, stealPct) = HostMeter.during(HostMeter.spin(8, 2000))
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"calib_spin_ms":$calibMs%.0f,"calib_steal_pct":$stealPct%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
