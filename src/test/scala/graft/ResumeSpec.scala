@@ -118,6 +118,11 @@ class ResumeSpec extends AnyFunSuite {
 
     // expire all but the last snapshot: r1..r3 manifests go; their run
     // dirs are unreferenced by the survivor and are reclaimed
+    // keepLast beyond history: nothing expires, nothing reclaimed
+    assert(TripleSink.expireSnapshots(path, keepLast = 10) == ((0, 0)))
+    intercept[IllegalArgumentException] {
+      TripleSink.expireSnapshots(path, keepLast = 0) // must keep latest
+    }
     val (mDel, dDel) = TripleSink.expireSnapshots(path, keepLast = 1)
     assert(mDel == 3 && dDel == 3, s"expected (3,3), got ($mDel,$dDel)")
     assert(TripleSink.read(spark, path)
