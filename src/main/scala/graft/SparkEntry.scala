@@ -39,9 +39,27 @@ object SparkEntry {
     * catalog table names): side-effecting queries must never write a
     * FIXED /tmp path or table name — two concurrent sessions (bench +
     * verify) would clobber each other's data mid-read (round-3
-    * ADVICE). createTempDirectory is unique per call by contract. */
-  private def scratchDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    * ADVICE). createTempDirectory is unique per call by contract.
+    * Every dir handed out is deleted at JVM exit (round-4 ADVICE: the
+    * unique-per-call fix must not become a disk leak — q_join_dpp
+    * alone rewrites the full orders table per invocation). A shutdown
+    * hook, not per-query deletion: the returned DataFrames read these
+    * dirs lazily, so they must outlive the query's consumption. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { dir =>
+        try scala.util.Using.resource(java.nio.file.Files.walk(dir)) { files =>
+          files.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // best-effort: exit path
+      }))
+  private def scratchDir(prefix: String): String = {
+    scratchCleanup
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(dir)
+    dir.toString
+  }
   private val scratchTag = new java.util.concurrent.atomic.AtomicLong()
 
   // ------------------------------------------------------------------

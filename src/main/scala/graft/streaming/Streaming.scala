@@ -223,18 +223,6 @@ object Streaming {
         graft.operators.Stages.extract(pages, nParts), bcModel)).toDF()
   }
 
-  /** The DURABLE form of [[triplesIngest]]: parquet sink + a persistent
-    * checkpoint directory — Structured Streaming's exactly-once
-    * contract for file sources/sinks. The checkpoint ledger records
-    * which input files each committed micro-batch consumed, so a
-    * RESTART of the same (outDir, checkpointDir) pair processes only
-    * files that arrived since — re-running over an unchanged input is
-    * a no-op, never a duplicate (ResumeSpec-style restart semantics,
-    * asserted in StreamingSpec). This is the streaming counterpart of
-    * the batch [[graft.plans.Lineage]] resume: same idea (durable
-    * ledger keyed by input), enforced by the engine instead of our
-    * manifest. Returns the total row count in the sink after the
-    * drain. */
   /** Streaming ingest into the SNAPSHOT TABLE ([[graft.sources
     * .TripleSink]]) — the Iceberg streaming-commit pattern, vs
     * [[triplesIngestDurable]]'s flat file sink. Each micro-batch
@@ -267,6 +255,18 @@ object Streaming {
     graft.sources.TripleSink.read(spark, tablePath).count()
   }
 
+  /** The DURABLE form of [[triplesIngest]]: parquet sink + a persistent
+    * checkpoint directory — Structured Streaming's exactly-once
+    * contract for file sources/sinks. The checkpoint ledger records
+    * which input files each committed micro-batch consumed, so a
+    * RESTART of the same (outDir, checkpointDir) pair processes only
+    * files that arrived since — re-running over an unchanged input is
+    * a no-op, never a duplicate (ResumeSpec-style restart semantics,
+    * asserted in StreamingSpec). This is the streaming counterpart of
+    * the batch [[graft.plans.Lineage]] resume: same idea (durable
+    * ledger keyed by input), enforced by the engine instead of our
+    * manifest. Returns the total row count in the sink after the
+    * drain. */
   def triplesIngestDurable(spark: SparkSession, sfDir: String,
                            outDir: String, checkpointDir: String,
                            nParts: Int = 16): Long = {
