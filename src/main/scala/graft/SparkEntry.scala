@@ -1069,6 +1069,31 @@ object SparkEntry {
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred", "obj")
         .localCheckpoint(true)
+    }),
+
+    // Iceberg-emulation MERGE INTO (A16, round-5): keyed copy-on-write
+    // upsert — updates REPLACE rows with the same (subj, pred) and
+    // INSERT otherwise, rewriting only the hash partitions that contain
+    // an updated key (ResumeSpec asserts untouched partitions'files are
+    // byte-identical). The read-back must equal DuckDB's NOT EXISTS
+    // anti-join + union mirror of the same upsert.
+    "q_sink_merge" -> ((s, d) => {
+      val path = scratchDir("graft_sink_merge")
+      val base = t(s, d, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(base, path, "r1", nParts = 8)
+      val updates = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          concat(lit("SEG-"), col("c_mktsegment")).as("obj"))
+        .unionByName(t(s, d, "customer")
+          .filter(col("c_custkey") > 200 && col("c_custkey") <= 250)
+          .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+            col("c_mktsegment").as("obj")))
+      graft.sources.TripleSink.merge(s, path, updates, "m1")
+      graft.sources.TripleSink.read(s, path)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
     })
   )
 
@@ -2128,6 +2153,25 @@ object SparkEntry {
     "q_sink_compact" ->
       """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
         |FROM customer WHERE c_custkey <= 300
+        |ORDER BY subj, pred, obj""".stripMargin,
+
+    // the keyed upsert: updates replace matched (subj, pred) keys and
+    // insert otherwise — DuckDB mirrors it as NOT EXISTS + UNION ALL
+    "q_sink_merge" ->
+      """WITH base AS (
+        |  SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |  FROM customer WHERE c_custkey <= 200),
+        |upd AS (
+        |  SELECT c_name AS subj, 'in_segment' AS pred, 'SEG-' || c_mktsegment AS obj
+        |  FROM customer WHERE c_custkey <= 50
+        |  UNION ALL
+        |  SELECT c_name, 'in_segment', c_mktsegment
+        |  FROM customer WHERE c_custkey > 200 AND c_custkey <= 250)
+        |SELECT subj, pred, obj FROM upd
+        |UNION ALL
+        |SELECT b.subj, b.pred, b.obj FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                  WHERE u.subj = b.subj AND u.pred = b.pred)
         |ORDER BY subj, pred, obj""".stripMargin
   )
 

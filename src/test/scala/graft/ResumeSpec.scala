@@ -134,6 +134,168 @@ class ResumeSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(s"$path/data/run=compact-1")))
   }
 
+  test("sink incremental stats: merged manifest stats equal a full recompute across append/merge/compact") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-stats").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+
+    // 3 appends + compact: every commit derives stats from the NEW run
+    // only, folded with the prior manifest — the audit rescans the
+    // whole visible table and must agree at every step
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2")), path, "r1", nParts = 4)
+    assert(TripleSink.statsAudit(spark, path))
+    TripleSink.write(frame(("c", "p", "3")), path, "r2", nParts = 4, append = true)
+    assert(TripleSink.statsAudit(spark, path))
+    TripleSink.write(frame(("d", "p", "4"), ("e", "p", "5")), path, "r3", nParts = 4, append = true)
+    assert(TripleSink.statsAudit(spark, path))
+    assert(TripleSink.snapshots(path).map(_._3) == Seq(2L, 3L, 5L),
+      "per-snapshot row totals must come straight from manifest stats")
+    TripleSink.compact(spark, path, "c1", nParts = 2)
+    assert(TripleSink.statsAudit(spark, path))
+
+    // idempotent retry of the LATEST run keeps stats exact (the retried
+    // run's old contribution must not double-count)
+    val c1 = TripleSink.read(spark, path).drop("part_id", "run_id").localCheckpoint(true)
+    TripleSink.write(c1, path, "c1", nParts = 2)
+    assert(TripleSink.statsAudit(spark, path))
+    assert(TripleSink.read(spark, path).count() == 5)
+
+    // re-committing an OLDER runId would rewrite readAsOf history -> rejected
+    intercept[IllegalArgumentException] {
+      TripleSink.write(frame(("x", "p", "9")), path, "r2", nParts = 4, append = true)
+    }
+    // append under a different partition spec -> rejected (one spec per lineage)
+    intercept[IllegalArgumentException] {
+      TripleSink.write(frame(("x", "p", "9")), path, "r9", nParts = 8, append = true)
+    }
+  }
+
+  test("sink merge: keyed upsert rewrites ONLY affected partitions (true copy-on-write)") {
+    import graft.sources.TripleSink
+    import java.nio.file.{Files => F, Paths => P}
+    val path = Files.createTempDirectory("graft-sink-merge").toString
+    val nParts = 4
+    // 40 keys spread across all 4 hash partitions
+    val base = (0 until 40).map(i => (s"s$i", "p", s"old$i")).toDF("subj", "pred", "obj")
+    TripleSink.write(base, path, "r1", nParts = nParts)
+
+    // updates: rewrite 2 existing keys + insert 1 new key
+    val updates = Seq(("s1", "p", "NEW1"), ("s2", "p", "NEW2"), ("zz", "p", "INS"))
+      .toDF("subj", "pred", "obj")
+    // which partitions the update keys hash into (same expr as the sink)
+    val affected = updates.select(pmod(xxhash64(col("subj")), lit(nParts)).cast("int").as("p"))
+      .distinct().as[Int].collect().toSet
+    assert(affected.size < nParts, "test needs at least one untouched partition")
+
+    // byte-snapshot (path -> sha256) of every data file in UNTOUCHED
+    // partitions of r1 — merge must leave them byte-identical
+    def fileBytes(partId: Int): Map[String, String] = {
+      val dir = P.get(s"$path/data/run=r1/part_id=$partId")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      scala.util.Using.resource(F.walk(dir))(_
+        .filter(F.isRegularFile(_))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.toString ->
+          md.digest(F.readAllBytes(p)).map("%02x".format(_)).mkString).toMap)
+    }
+    val untouched = (0 until nParts).filterNot(affected)
+    val before = untouched.map(p => p -> fileBytes(p)).toMap
+
+    TripleSink.merge(spark, path, updates, "m1")
+
+    // values: updated keys replaced, new key inserted, others intact
+    val got = TripleSink.read(spark, path)
+      .select("subj", "obj").as[(String, String)].collect().toMap
+    assert(got.size == 41)
+    assert(got("s1") == "NEW1" && got("s2") == "NEW2" && got("zz") == "INS")
+    assert(got("s3") == "old3" && got("s39") == "old39")
+
+    // copy-on-write: untouched partitions' files untouched on disk...
+    untouched.foreach(p => assert(fileBytes(p) == before(p),
+      s"untouched partition $p was rewritten"))
+    // ...and the merge run dir holds ONLY the affected partitions
+    val m1Parts = scala.util.Using.resource(F.list(P.get(s"$path/data/run=m1")))(_
+      .toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.startsWith("part_id=")).map(_.stripPrefix("part_id=").toInt).toSet)
+    assert(m1Parts == affected, s"merge wrote $m1Parts, expected $affected")
+
+    // manifest stats stay exact without a full rescan; history frozen
+    assert(TripleSink.statsAudit(spark, path))
+    assert(TripleSink.readAsOf(spark, path, "r1")
+      .filter(col("subj") === "s1").select("obj").as[String].head() == "old1")
+    assert(TripleSink.readAsOf(spark, path, "r1").count() == 40)
+
+    // merge guards: duplicate runId and schema drift are loud errors
+    intercept[IllegalArgumentException] { TripleSink.merge(spark, path, updates, "m1") }
+    intercept[IllegalArgumentException] {
+      TripleSink.merge(spark, path, updates.withColumn("extra", lit(1)), "m2")
+    }
+  }
+
+  test("sink schema evolution: append adds a column; reads project each snapshot's recorded schema") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-schema").toString
+    TripleSink.write(Seq(("a", "p", "1"), ("b", "p", "2")).toDF("subj", "pred", "obj"),
+      path, "v1", nParts = 2)
+    // v2 appends with a NEW column (confidence score)
+    TripleSink.write(Seq(("c", "p", "3", 0.9)).toDF("subj", "pred", "obj", "conf"),
+      path, "v2", nParts = 2, append = true)
+
+    // latest read: union schema; v1 rows null-fill the new column
+    val latest = TripleSink.read(spark, path)
+    assert(latest.columns.toSeq == Seq("subj", "pred", "obj", "conf", "run_id", "part_id"))
+    val confs = latest.select("subj", "conf").as[(String, Option[Double])].collect().toMap
+    assert(confs == Map("a" -> None, "b" -> None, "c" -> Some(0.9)))
+
+    // time travel to v1 projects the OLD schema: no conf column at all
+    val asOfV1 = TripleSink.readAsOf(spark, path, "v1")
+    assert(asOfV1.columns.toSeq == Seq("subj", "pred", "obj", "run_id", "part_id"))
+    assert(asOfV1.count() == 2)
+
+    // a later append MISSING the evolved column null-fills it
+    TripleSink.write(Seq(("d", "p", "4")).toDF("subj", "pred", "obj"),
+      path, "v3", nParts = 2, append = true)
+    assert(TripleSink.read(spark, path).filter(col("subj") === "d")
+      .select("conf").as[Option[Double]].head().isEmpty)
+    // stats stay exact across schema versions (hash is over the core
+    // triple columns precisely so evolution cannot skew it)
+    assert(TripleSink.statsAudit(spark, path))
+  }
+
+  test("sink torn commit: orphan data + temp manifest are invisible to readers and safe from GC") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-torn").toString
+    TripleSink.write(Seq(("a", "p", "1")).toDF("subj", "pred", "obj"), path, "r1", nParts = 2)
+    TripleSink.write(Seq(("b", "p", "2")).toDF("subj", "pred", "obj"), path, "r2", nParts = 2, append = true)
+
+    // simulate a crash between the data write and the manifest publish:
+    // an orphan run dir with real parquet, plus a torn temp manifest
+    Seq(("z", "p", "99")).toDF("subj", "pred", "obj")
+      .withColumn("part_id", lit(0)).withColumn("run_id", lit("orphan"))
+      .write.partitionBy("part_id").parquet(s"$path/data/run=orphan")
+    Files.writeString(java.nio.file.Paths.get(s"$path/_manifests/.manifest-9-torn.tmp"),
+      "{\"seq\":9,")
+
+    // readers: latest read and the snapshot log see neither
+    assert(TripleSink.read(spark, path)
+      .select("subj").as[String].collect().toSet == Set("a", "b"))
+    assert(TripleSink.snapshots(path).map(_._2) == Seq("r1", "r2"))
+
+    // GC: expiration only reclaims runs EXPIRED manifests referenced —
+    // the orphan (a possibly in-flight commit) must survive
+    val (mDel, dDel) = TripleSink.expireSnapshots(path, keepLast = 1)
+    assert(mDel == 1 && dDel == 0, s"expected (1,0), got ($mDel,$dDel)")
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$path/data/run=orphan")),
+      "GC deleted an in-flight/orphan run directory")
+
+    // the orphan's runId can then commit normally (retry completes it)
+    TripleSink.write(Seq(("z", "p", "99")).toDF("subj", "pred", "obj"),
+      path, "orphan", nParts = 2, append = true)
+    assert(TripleSink.read(spark, path)
+      .select("subj").as[String].collect().toSet == Set("a", "b", "z"))
+    assert(TripleSink.statsAudit(spark, path))
+  }
+
   test("partial run resumes: only missing partitions recompute") {
     val dir = Files.createTempDirectory("graft-resume2").toString
     val lin = new graft.plans.Lineage(spark, dir, "rX")

@@ -227,16 +227,23 @@ class StreamingSpec extends AnyFunSuite {
     val snaps = TripleSink.snapshots(table)
     assert(snaps.nonEmpty && snaps.forall(_._2.startsWith("batch-")))
     // simulated mid-commit retry: Structured Streaming re-runs a failed
-    // batch under the SAME id — re-committing batch 0's data must
-    // REPLACE its files, not duplicate them
-    val batch0 = TripleSink.readAsOf(spark, table, snaps.head._2)
+    // batch under the SAME id — and only ever the CURRENT (latest)
+    // batch. Re-committing the latest batch's data must REPLACE its
+    // files and re-publish its visibility unchanged, not duplicate
+    // rows or rewrite history (round-4 ADVICE: older-run re-commits
+    // are rejected instead — ResumeSpec covers that path)
+    val latest = snaps.last._2
+    val latestData = TripleSink.readAsOf(spark, table, latest)
+      .filter(col("run_id") === latest)
       .drop("part_id", "run_id")
       // materialize BEFORE the write: the commit overwrites the very
       // directory this frame lazily reads from
       .localCheckpoint(true)
-    TripleSink.write(batch0, table, snaps.head._2, nParts = 8, append = true)
+    TripleSink.write(latestData, table, latest, nParts = 8, append = true)
     assert(TripleSink.read(spark, table).count() == n1,
       "idempotent batch re-commit changed the table")
+    assert(TripleSink.statsAudit(spark, table),
+      "incremental manifest stats diverged from a full recompute after retry")
     // restart over unchanged input: checkpoint ledger → zero new batches
     val n2 = Streaming.triplesIngestToSink(spark, sfDir, table, ckpt)
     assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
