@@ -303,6 +303,24 @@ object SparkEntry {
       Pipeline.runOnTestdata(s, d, 1, Pipeline.Config(localThreshold = 0))
         .triples.orderBy("subj", "pred", "obj")),
 
+    // Incremental KG maintenance (round-5): the corpus arrives as two
+    // url-hash micro-batches; each folds into the maintained state
+    // (new keys probe the persisted LSH index, CC reruns only touched
+    // components, representatives re-pick only dirty ones, the triple
+    // view updates by signed-multiplicity delta). The result is the
+    // materialized view after batch 2 — KgDeltaSpec asserts it equals
+    // the from-scratch q_kg_triples rewrite value-for-value, which is
+    // model-based and therefore rows-only at the driver.
+    "q_kg_delta" -> ((s, d) => {
+      val raw = Pipeline.runOnTestdata(s, d, 1).rawTriples.toDF()
+        .localCheckpoint(true)
+      val batches = (0 until 2).map(b =>
+        raw.filter(pmod(xxhash64(col("url")), lit(2)) === b))
+      val (st1, _) = KgDelta.update(KgDelta.empty(s), batches(0))
+      val (st2, _) = KgDelta.update(st1, batches(1))
+      KgDelta.triples(st2).orderBy("subj", "pred", "obj")
+    }),
+
     // ---- dedup suite (training-data pipeline) ----
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Dedup.planted(t(s, d, "documents")))

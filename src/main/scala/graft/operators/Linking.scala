@@ -87,20 +87,35 @@ object Linking {
     * the skew (collect_list-style aggs, per-key heavy compute) — see
     * [[nodes]], whose salt is derived deterministically from input
     * columns. */
-  def nodesFromTripleArgs(raw: DataFrame): Dataset[NodeRow] = {
-    val spark = raw.sparkSession
-    import spark.implicits._
+  def nodesFromTripleArgs(raw: DataFrame): Dataset[NodeRow] =
+    nodesFromCounts(argCounts(raw))
+
+  /** Mention-level occurrence counts over the triple args —
+    * (etype, norm_key, mention, cnt). This is the MERGEABLE unit of
+    * node statistics (cnt sums across batches), which is what lets
+    * [[KgDelta]] maintain node state incrementally: per-batch counts
+    * append; the surface pick re-derives from the summed counts. */
+  def argCounts(raw: DataFrame): DataFrame = {
     val args = raw
       .select(col("subj_type").as("etype"), col("subj_key").as("norm_key"),
         col("subj").as("mention"))
       .unionByName(raw
         .select(col("obj_type").as("etype"), col("obj_key").as("norm_key"),
           col("obj").as("mention")))
-    val counted = args
-      .groupBy("etype", "norm_key", "mention").agg(count(lit(1)).as("cnt"))
+    args.groupBy("etype", "norm_key", "mention").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Node rows from (possibly multi-batch) mention-level counts: sum
+    * per mention, then most frequent surface (ties → lexicographically
+    * smallest) and the node's total count. */
+  def nodesFromCounts(counts: DataFrame): Dataset[NodeRow] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val summed = counts
+      .groupBy("etype", "norm_key", "mention").agg(sum("cnt").as("cnt"))
     val w = Window.partitionBy("etype", "norm_key")
       .orderBy(col("cnt").desc, col("mention").asc)
-    counted
+    summed
       .withColumn("rk", row_number().over(w))
       .withColumn("node_cnt", sum("cnt").over(Window.partitionBy("etype", "norm_key")))
       .filter(col("rk") === 1)
@@ -148,12 +163,20 @@ object Linking {
       .dropDuplicates("etype", "key_a", "key_b")
       .as[(String, String, String)]
     cands.flatMap { case (etype, ka, kb) =>
-      val j = Hashing.jaccard(Text.shingles(ka), Text.shingles(kb))
-      val (short, long) = if (ka.length <= kb.length) (ka, kb) else (kb, ka)
-      val abbrev = short.nonEmpty && long.nonEmpty &&
-        short.charAt(0) == long.charAt(0) && Text.isSubsequence(short, long)
-      val accept = j >= JaccardAccept || (abbrev && j >= JaccardAbbrev)
-      if (accept) Some(EdgeRow(etype, ka, kb, j)) else None
+      scorePair(ka, kb).map(j => EdgeRow(etype, ka, kb, j))
     }
+  }
+
+  /** The accept/reject decision for one candidate key pair — exact
+    * shingle Jaccard plus the abbreviation-subsequence floor, narrow
+    * (shingles derive purely from the keys). Shared by the one-shot
+    * [[edges]] path and [[KgDelta]]'s index-probe path so both apply
+    * the identical rule. Returns the score iff the pair is accepted. */
+  private[operators] def scorePair(ka: String, kb: String): Option[Double] = {
+    val j = Hashing.jaccard(Text.shingles(ka), Text.shingles(kb))
+    val (short, long) = if (ka.length <= kb.length) (ka, kb) else (kb, ka)
+    val abbrev = short.nonEmpty && long.nonEmpty &&
+      short.charAt(0) == long.charAt(0) && Text.isSubsequence(short, long)
+    if (j >= JaccardAccept || (abbrev && j >= JaccardAbbrev)) Some(j) else None
   }
 }
