@@ -207,10 +207,15 @@ class StreamingSpec extends AnyFunSuite {
     // file was consumed by a committed batch — zero new rows
     val n2 = Streaming.triplesIngestDurable(spark, "/root/testdata/sf0.001", out, ckpt)
     assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
-    // and the sink content equals the one-shot drain
+    // and the sink content equals the one-shot drain VALUE FOR VALUE
+    // (round-4 verdict item 7: a count match can hide wrong rows)
     import spark.implicits._
+    val cols = Seq("url", "sent_idx", "subj", "pred", "obj", "rule_id")
     val direct = Streaming.triplesIngest(spark, "/root/testdata/sf0.001")
-    assert(spark.read.parquet(out).count() == direct.count())
+      .select(cols.head, cols.tail: _*).collect().toSet
+    val sunk = spark.read.parquet(out)
+      .select(cols.head, cols.tail: _*).collect().toSet
+    assert(sunk == direct, "durable sink content diverged from the memory drain")
   }
 
   test("snapshot-sink ingest: per-batch append snapshots, idempotent batch retry, restart no-op") {
@@ -221,8 +226,14 @@ class StreamingSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.001"
     val n1 = Streaming.triplesIngestToSink(spark, sfDir, table, ckpt)
     assert(n1 > 0)
-    // content == the memory-sink drain of the same stream
-    assert(n1 == Streaming.triplesIngest(spark, sfDir).count())
+    // snapshot-table read-back == the memory-sink drain of the same
+    // stream, VALUE FOR VALUE (round-4 verdict item 7)
+    val vcols = Seq("url", "sent_idx", "subj", "pred", "obj", "rule_id")
+    assert(TripleSink.read(spark, table)
+        .select(vcols.head, vcols.tail: _*).collect().toSet ==
+      Streaming.triplesIngest(spark, sfDir)
+        .select(vcols.head, vcols.tail: _*).collect().toSet,
+      "sink read-back diverged from the memory drain")
     // one append snapshot per committed micro-batch, batch-id run ids
     val snaps = TripleSink.snapshots(table)
     assert(snaps.nonEmpty && snaps.forall(_._2.startsWith("batch-")))
