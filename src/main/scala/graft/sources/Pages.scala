@@ -52,10 +52,11 @@ object Pages {
     * Identical row math (shared [[fromDocs]]), so stream and batch
     * produce byte-identical pages for the same doc rows. */
   def synthesizeStream(spark: SparkSession, sfDir: String, replicate: Int = 1,
-                       heavy: Int = 1): Dataset[PageRow] = {
+                       heavy: Int = 1,
+                       filesPerTrigger: Option[Int] = None): Dataset[PageRow] = {
     import spark.implicits._
     val docs = graft.streaming.Streaming
-      .streamTable(spark, s"$sfDir/documents.parquet")
+      .streamTable(spark, s"$sfDir/documents.parquet", filesPerTrigger)
       .select("doc_id", "text", "lang", "source").as[DocRow]
       .repartition(spark.sparkContext.defaultParallelism * 8)
     fromDocs(docs, replicate, heavy)

@@ -70,12 +70,17 @@ object Streaming {
     * the glob (matching exactly the same file) takes the glob code
     * path, which infers base paths correctly. Directory-shaped tables
     * stream as-is. */
-  def streamTable(spark: SparkSession, path: String): DataFrame = {
+  def streamTable(spark: SparkSession, path: String,
+                  filesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
     val streamPath =
       if (f.isFile) s"${f.getParent}/{${f.getName}}" else path
-    spark.readStream.schema(schema).parquet(streamPath)
+    val reader = spark.readStream.schema(schema)
+    // rate limit = micro-batch sizing; AvailableNow still drains ALL
+    // current input, just across several batches instead of one
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(streamPath)
   }
 
   def hourlyEventCounts(spark: SparkSession, eventsPath: String): DataFrame = {
@@ -215,12 +220,53 @@ object Streaming {
     drainAvailableNow(rawTriplesStream(spark, sfDir, nParts), OutputMode.Append())
 
   private def rawTriplesStream(spark: SparkSession, sfDir: String,
-                               nParts: Int): DataFrame = {
-    val pages = graft.sources.Pages.synthesizeStream(spark, sfDir)
+                               nParts: Int,
+                               filesPerTrigger: Option[Int] = None): DataFrame = {
+    val pages = graft.sources.Pages.synthesizeStream(spark, sfDir,
+      filesPerTrigger = filesPerTrigger)
     val bcModel = spark.sparkContext.broadcast(graft.core.Fixture.model)
     graft.operators.Stages.rawTriples(
       graft.operators.Stages.tag(
         graft.operators.Stages.extract(pages, nParts), bcModel)).toDF()
+  }
+
+  /** Streaming ingest INTO THE MAINTAINED KNOWLEDGE GRAPH — the round-5
+    * closure of the lambda split documented on [[triplesIngest]]: the
+    * stateless A2→A10 chain still runs per micro-batch, but the
+    * stateful tail (linking → CC → canonicalization → triple view) no
+    * longer waits for a periodic full-recompute batch job; each
+    * micro-batch folds into [[graft.operators.KgDelta]]'s maintained
+    * state, whose per-batch cost scales with the batch (LSH-index
+    * probe, touched-component CC, dirty-component re-pick — see
+    * KgDelta's scaladoc and DeltaBench). After the drain the returned
+    * state's canon map and triple view equal the batch pipeline run
+    * from scratch over the same pages, value for value (StreamingSpec).
+    *
+    * `filesPerTrigger` sizes micro-batches (None = engine default: all
+    * available input in one batch). State here is in-memory
+    * (driver-held frames over executor-cached blocks) — the
+    * demonstration shape. Production durability composes the two seams
+    * that already exist: persist each fold's keyed outputs (canon,
+    * assign) through TripleSink.merge and the append-only logs as
+    * parquet appends keyed by batch id — idempotent under Structured
+    * Streaming's same-id batch retry, like [[triplesIngestToSink]]. */
+  def triplesIngestDelta(spark: SparkSession, sfDir: String,
+                         nParts: Int = 16,
+                         filesPerTrigger: Option[Int] = None)
+      : (graft.operators.KgDelta.State, Int) = {
+    var state = graft.operators.KgDelta.empty(spark)
+    var nBatches = 0
+    val q = rawTriplesStream(spark, sfDir, nParts, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = graft.operators.KgDelta.update(state, batch)._1
+        nBatches += 1
+      }
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (state, nBatches)
   }
 
   /** Streaming ingest into the SNAPSHOT TABLE ([[graft.sources

@@ -260,6 +260,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == n1, s"restart duplicated rows: $n1 -> $n2")
   }
 
+  test("triplesIngestDelta: per-micro-batch KG folds == the batch pipeline, value for value") {
+    import spark.implicits._
+    // split the corpus into 4 files so AvailableNow + maxFilesPerTrigger=1
+    // drains as 4 real micro-batches, each folding into the maintained KG
+    val base = java.nio.file.Files.createTempDirectory("graft_delta_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(4).write.parquet(s"$base/documents.parquet")
+
+    val (state, nBatches) = Streaming.triplesIngestDelta(
+      spark, base, filesPerTrigger = Some(1))
+    assert(nBatches >= 2, s"expected a multi-batch drain, got $nBatches")
+
+    // ground truth: the batch pipeline from scratch over the same pages
+    val out = Pipeline.runOnTestdata(spark, base)
+    assert(state.canon.select("etype", "norm_key", "canon")
+        .as[(String, String, String)].collect().toSet ==
+      out.canon.select("etype", "norm_key", "canon")
+        .as[(String, String, String)].collect().toSet,
+      "streamed delta canon map diverged from the batch pipeline")
+    assert(graft.operators.KgDelta.triples(state)
+        .as[(String, String, String)].collect().toSet ==
+      out.triples.select("subj", "pred", "obj")
+        .as[(String, String, String)].collect().toSet,
+      "streamed delta triple view diverged from the batch pipeline")
+  }
+
   test("triplesIngest (streamed A2->A10) == the batch stages, value for value") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
