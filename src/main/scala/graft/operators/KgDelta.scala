@@ -115,6 +115,13 @@ object KgDelta {
   private val RawCols =
     Seq("subj", "subj_type", "subj_key", "pred", "obj", "obj_type", "obj_key")
 
+  /** What one fold APPENDED to each append-only log — the O(batch)
+    * unit a durable layer persists per batch (keyed tables `assign` /
+    * `canon` are entity-scale and persist whole). */
+  final case class Appends(counts: DataFrame, bands: DataFrame,
+                           edges: DataFrame, raw: DataFrame,
+                           support: DataFrame)
+
   /** Fold one micro-batch of raw triples (any frame carrying the 7 arg
     * columns) into the state. Returns the new state and the batch's
     * triple-view delta. `localThreshold` is the CC size-adaptive knob
@@ -122,6 +129,15 @@ object KgDelta {
     * path is the common case; 0 forces the distributed loop). */
   def update(state: State, batchRaw: DataFrame,
              localThreshold: Long = 1L << 20): (State, Delta) = {
+    val (st, delta, _) = updateFull(state, batchRaw, localThreshold)
+    (st, delta)
+  }
+
+  /** [[update]] plus the per-batch log appends, for durable layers
+    * ([[DurableKg]]). */
+  private[graft] def updateFull(state: State, batchRaw: DataFrame,
+                                localThreshold: Long = 1L << 20)
+      : (State, Delta, Appends) = {
     val spark = batchRaw.sparkSession
     import spark.implicits._
 
@@ -280,7 +296,8 @@ object KgDelta {
       state.edges.unionByName(newEdges), assign2,
       canon2.localCheckpoint(true), state.raw.unionByName(batchSlim),
       state.support.unionByName(deltaRows)),
-      Delta(additions.localCheckpoint(true), retractions.localCheckpoint(true)))
+      Delta(additions.localCheckpoint(true), retractions.localCheckpoint(true)),
+      Appends(bCounts, newBands, newEdges, batchSlim, deltaRows))
   }
 
   /** Canonical rewrite with multiplicities: (subj, pred, obj, d) where

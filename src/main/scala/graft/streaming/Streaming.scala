@@ -269,6 +269,36 @@ object Streaming {
     (state, nBatches)
   }
 
+  /** The DURABLE form of [[triplesIngestDelta]] — exactly-once
+    * incremental KG maintenance across restarts, with no transactional
+    * API: the checkpoint ledger pins which input files each batch id
+    * consumed, and [[graft.operators.DurableKg]] pins which folds each
+    * batch id committed (atomic marker; re-folding a committed id is a
+    * no-op; a batch retried after a mid-fold crash overwrites its torn
+    * dirs under the SAME id). Restarting over unchanged input folds
+    * nothing and reconstructs the identical state from storage
+    * (StreamingSpec). Returns the maintained state and how many NEW
+    * folds this drain committed. */
+  def triplesIngestDeltaDurable(spark: SparkSession, sfDir: String,
+                                stateDir: String, checkpointDir: String,
+                                nParts: Int = 16,
+                                filesPerTrigger: Option[Int] = None)
+      : (graft.operators.KgDelta.State, Int) = {
+    val kg = new graft.operators.DurableKg(spark, stateDir)
+    var folds = 0
+    val q = rawTriplesStream(spark, sfDir, nParts, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (kg.fold(batch, id).isDefined) folds += 1
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (kg.state, folds)
+  }
+
   /** Streaming ingest into the SNAPSHOT TABLE ([[graft.sources
     * .TripleSink]]) — the Iceberg streaming-commit pattern, vs
     * [[triplesIngestDurable]]'s flat file sink. Each micro-batch

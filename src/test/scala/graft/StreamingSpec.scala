@@ -286,6 +286,33 @@ class StreamingSpec extends AnyFunSuite {
       "streamed delta triple view diverged from the batch pipeline")
   }
 
+  test("triplesIngestDeltaDurable: restart folds nothing and reloads the identical state") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_delta_durable").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(3).write.parquet(s"$base/documents.parquet")
+
+    val (s1, folds1) = Streaming.triplesIngestDeltaDurable(
+      spark, base, s"$base/state", s"$base/ckpt", filesPerTrigger = Some(1))
+    assert(folds1 >= 2, s"expected a multi-fold drain, got $folds1")
+    // restart over unchanged input: ledger says all consumed -> 0 folds
+    val (s2, folds2) = Streaming.triplesIngestDeltaDurable(
+      spark, base, s"$base/state", s"$base/ckpt", filesPerTrigger = Some(1))
+    assert(folds2 == 0, s"restart re-folded $folds2 batches")
+
+    val cols = Seq("etype", "norm_key", "canon")
+    val c1 = s1.canon.select(cols.head, cols.tail: _*).collect().toSet
+    assert(s2.canon.select(cols.head, cols.tail: _*).collect().toSet == c1,
+      "restarted state diverged")
+    // and the durable state equals the batch pipeline from scratch
+    val out = Pipeline.runOnTestdata(spark, base)
+    assert(c1 == out.canon.select(cols.head, cols.tail: _*).collect().toSet)
+    assert(graft.operators.KgDelta.triples(s2)
+        .as[(String, String, String)].collect().toSet ==
+      out.triples.select("subj", "pred", "obj")
+        .as[(String, String, String)].collect().toSet)
+  }
+
   test("triplesIngest (streamed A2->A10) == the batch stages, value for value") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
