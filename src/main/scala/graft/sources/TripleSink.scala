@@ -257,7 +257,7 @@ object TripleSink {
     ok
   }
 
-  /** Table maintenance 1 of 2 — snapshot expiration (Iceberg's
+  /** Table maintenance 1 of 3 — snapshot expiration (Iceberg's
     * `expireSnapshots`): drop all but the newest `keepLast` manifests,
     * then garbage-collect every data directory the EXPIRED manifests
     * referenced and no surviving snapshot still does. Retention is what
@@ -284,7 +284,50 @@ object TripleSink {
     (expire.size, dead.size)
   }
 
-  /** Table maintenance 2 of 2 — data-file compaction (Iceberg's
+  /** Table maintenance 3 of 3 — orphan reclamation (Iceberg's
+    * `removeOrphanFiles`): delete run directories that NO committed
+    * manifest references — the debris of commits that crashed between
+    * their data write and their manifest publish. [[expireSnapshots]]
+    * deliberately never touches these (it cannot tell a torn commit's
+    * orphan from an IN-FLIGHT commit's data, so it reclaims only runs
+    * that expired manifests referenced); the janitor distinguishes by
+    * AGE, exactly as Iceberg does: a run whose newest file is older
+    * than `olderThanMs` cannot belong to a live commit (no writer runs
+    * that long), so it is debris. Call with a generous horizon (hours)
+    * from a periodic maintenance job. Returns deleted run names. */
+  def removeOrphans(path: String, olderThanMs: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val referenced = manifests(path).flatMap(_.visibleRunNames).toSet
+    val dataDir = root(path).resolve("data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = scala.util.Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala.filter { p =>
+        val name = p.getFileName.toString
+        name.startsWith("run=") &&
+          !referenced.contains(name.stripPrefix("run=")) &&
+          newestMtime(p) < cutoff
+      }.toList
+    }
+    dead.foreach(deleteRecursively)
+    dead.map(_.getFileName.toString.stripPrefix("run="))
+  }
+
+  /** Newest last-modified time under a directory tree — the age signal
+    * for [[removeOrphans]] (a run being written RIGHT NOW has a fresh
+    * newest file even if its directory was created long ago). */
+  private def newestMtime(dir: Path): Long = {
+    scala.util.Using.resource(Files.walk(dir)) { files =>
+      var newest = 0L
+      files.forEach { f =>
+        val t = Files.getLastModifiedTime(f).toMillis
+        if (t > newest) newest = t
+      }
+      newest
+    }
+  }
+
+  /** Table maintenance 2 of 3 — data-file compaction (Iceberg's
     * `rewriteDataFiles`): materialize the LATEST snapshot as one new
     * overwrite commit, collapsing the accumulated per-append run
     * directories (and their small files, and any merge's partition

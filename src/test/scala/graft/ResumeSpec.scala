@@ -296,6 +296,39 @@ class ResumeSpec extends AnyFunSuite {
     assert(TripleSink.statsAudit(spark, path))
   }
 
+  test("removeOrphans: age-gated janitor reclaims torn-commit debris, never fresh or referenced runs") {
+    import graft.sources.TripleSink
+    import java.nio.file.{Files => F, Paths => P}
+    val path = Files.createTempDirectory("graft-sink-orphan").toString
+    TripleSink.write(Seq(("a", "p", "1")).toDF("subj", "pred", "obj"), path, "r1", nParts = 2)
+
+    // a torn commit's debris: data written, no manifest ever published
+    Seq(("z", "p", "9")).toDF("subj", "pred", "obj")
+      .withColumn("part_id", lit(0)).withColumn("run_id", lit("debris"))
+      .write.partitionBy("part_id").parquet(s"$path/data/run=debris")
+
+    // FRESH orphan (could be an in-flight commit): survives any horizon
+    assert(TripleSink.removeOrphans(path, olderThanMs = 60000) == Nil)
+    assert(F.isDirectory(P.get(s"$path/data/run=debris")))
+
+    // age the debris past the horizon: every file's mtime counts — a
+    // run being written right now has a fresh newest file
+    scala.util.Using.resource(F.walk(P.get(s"$path/data/run=debris"))) { fs =>
+      fs.forEach(f => F.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000)))
+    }
+    assert(TripleSink.removeOrphans(path, olderThanMs = 60000) == Seq("debris"))
+    assert(!F.exists(P.get(s"$path/data/run=debris")))
+
+    // referenced runs are untouchable regardless of age
+    scala.util.Using.resource(F.walk(P.get(s"$path/data/run=r1"))) { fs =>
+      fs.forEach(f => F.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000)))
+    }
+    assert(TripleSink.removeOrphans(path, olderThanMs = 60000) == Nil)
+    assert(TripleSink.read(spark, path).count() == 1)
+  }
+
   test("partial run resumes: only missing partitions recompute") {
     val dir = Files.createTempDirectory("graft-resume2").toString
     val lin = new graft.plans.Lineage(spark, dir, "rX")
