@@ -201,9 +201,13 @@ object KgDelta {
     val cc = ConnectedComponents.run(star.unionByName(edgeIds),
       localThreshold = localThreshold)
 
-    val newKeyIds = newKeys.as[(String, String)].map { case (etype, key) =>
-      (etype, key, Hashing.nodeId(etype, key))
-    }.toDF("etype", "norm_key", "id")
+    // new-key ids derive from the CHECKPOINTED bands (one distinct over
+    // 16 rows/key), not from newKeys — whose plan re-runs the anti-join
+    // probe of the full band index on every consumption
+    val newKeyIds = newBands.select("etype", "norm_key").distinct()
+      .as[(String, String)].map { case (etype, key) =>
+        (etype, key, Hashing.nodeId(etype, key))
+      }.toDF("etype", "norm_key", "id")
     val represented = members.select("etype", "norm_key", "id")
       .unionByName(newKeyIds)
       .join(cc, Seq("id"), "left_outer")
@@ -247,6 +251,9 @@ object KgDelta {
     //    raw triples that referenced a changed entity; the batch's own
     //    triples rewrite under the new canon. The signed-multiplicity
     //    ledger makes the distinct view exact under shared derivations.
+    // not checkpointed: all three probes below sit in ONE action's plan
+    // (the deltaRows checkpoint), where Spark's broadcast-exchange reuse
+    // computes this small join once
     val changed = dirtyCanon.alias("n")
       .join(state.canon.alias("o"),
         col("n.etype") === col("o.etype") &&
@@ -254,7 +261,6 @@ object KgDelta {
         col("n.canon") =!= col("o.canon"),
         "left_semi")
       .select(col("etype"), col("norm_key"))
-      .localCheckpoint(true)
     val bySubj = state.raw.join(broadcast(changed),
       col("subj_type") === col("etype") && col("subj_key") === col("norm_key"),
       "left_semi")
@@ -277,15 +283,18 @@ object KgDelta {
       .join(deltaAgg.select("subj", "pred", "obj"),
         Seq("subj", "pred", "obj"), "left_semi")
       .groupBy("subj", "pred", "obj").agg(sum("d").as("pd"))
-    val merged = deltaAgg
+    // one checkpoint for the whole view delta; additions/retractions
+    // are lazy filters over it (3 materialization jobs → 1)
+    val outcome = deltaAgg
       .join(priorSupp, Seq("subj", "pred", "obj"), "left_outer")
       .withColumn("pd", coalesce(col("pd"), lit(0L)))
+      .filter((col("pd") <= 0 && col("pd") + col("dd") > 0) ||
+        (col("pd") > 0 && col("pd") + col("dd") <= 0))
+      .withColumn("entering", col("pd") <= 0)
       .localCheckpoint(true)
-    val additions = merged
-      .filter(col("pd") <= 0 && col("pd") + col("dd") > 0)
+    val additions = outcome.filter(col("entering"))
       .select("subj", "pred", "obj")
-    val retractions = merged
-      .filter(col("pd") > 0 && col("pd") + col("dd") <= 0)
+    val retractions = outcome.filter(!col("entering"))
       .select("subj", "pred", "obj")
 
     // Only keyed state is replaced; append-only logs keep lazy unions
@@ -296,7 +305,7 @@ object KgDelta {
       state.edges.unionByName(newEdges), assign2,
       canon2.localCheckpoint(true), state.raw.unionByName(batchSlim),
       state.support.unionByName(deltaRows)),
-      Delta(additions.localCheckpoint(true), retractions.localCheckpoint(true)),
+      Delta(additions, retractions),
       Appends(bCounts, newBands, newEdges, batchSlim, deltaRows))
   }
 
