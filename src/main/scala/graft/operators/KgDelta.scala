@@ -331,4 +331,15 @@ object KgDelta {
     state.copy(counts = state.counts
       .groupBy("etype", "norm_key", "mention").agg(sum("cnt").as("cnt"))
       .localCheckpoint(true))
+
+  /** Fold the signed-multiplicity support log down to one row per
+    * canonical triple, dropping fully-retracted ones (net 0) — the
+    * companion of [[compactCounts]] for the other unbounded log. The
+    * materialized view ([[triples]]) is unchanged; prior-support
+    * lookups in later folds see identical sums. */
+  def compactSupport(state: State): State =
+    state.copy(support = state.support
+      .groupBy("subj", "pred", "obj").agg(sum("d").as("d"))
+      .filter(col("d") =!= 0)
+      .localCheckpoint(true))
 }

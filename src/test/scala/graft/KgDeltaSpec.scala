@@ -39,7 +39,8 @@ class KgDeltaSpec extends AnyFunSuite {
     var ledger = Set.empty[(String, String, String)]
     batches.zipWithIndex.foreach { case (b, i) =>
       val (st2, delta) = KgDelta.update(state, b)
-      state = if (i == 1) KgDelta.compactCounts(st2) else st2 // compaction mid-stream must be invisible
+      // compaction of either unbounded log mid-stream must be invisible
+      state = if (i == 1) KgDelta.compactSupport(KgDelta.compactCounts(st2)) else st2
       acc = if (acc == null) b else acc.unionByName(b)
 
       val expCanon = canonSet(fullCanon(acc))
