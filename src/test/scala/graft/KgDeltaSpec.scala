@@ -57,6 +57,48 @@ class KgDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized batches (seeded): delta == full recompute at every step") {
+    // adversarial generator: hex base keys with linked surface variants
+    // (base / base+x / base+xy), skewed key reuse across batches, random
+    // mention spellings (so representatives flip as counts accumulate),
+    // and cross-references to keys from any earlier batch
+    val rnd = new scala.util.Random(42)
+    def key(c: Int): String = {
+      val base = graft.core.Text.sha256Hex(s"rk$c").take(12)
+      rnd.nextInt(3) match { case 0 => base; case 1 => base + "x"; case _ => base + "xy" }
+    }
+    val nBatches = 4
+    val batches = (0 until nBatches).map { b =>
+      val hi = (b + 1) * 30 // key space grows; earlier clusters stay addressable
+      val rows = (0 until 250).map { _ =>
+        val c = if (rnd.nextInt(10) < 3) rnd.nextInt(hi) // 30%: hot low ids
+                else b * 30 + rnd.nextInt(30)
+        val sk = key(c)
+        val ok = key(rnd.nextInt(hi))
+        (s"M${rnd.nextInt(3)}_$sk", "PER", sk, s"p${rnd.nextInt(4)}",
+          s"O$ok", "ORG", ok)
+      }
+      rows.toDF(Slim: _*).localCheckpoint(true)
+    }
+
+    var state = KgDelta.empty(spark)
+    var acc: DataFrame = null
+    var ledger = Set.empty[(String, String, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val (st2, delta) = KgDelta.update(state, b)
+      state = st2
+      acc = if (acc == null) b else acc.unionByName(b)
+      val full = fullCanon(acc)
+      assert(canonSet(state.canon) == canonSet(full),
+        s"random batch $i: canon diverged")
+      val exp = tripleSet(Canonicalize.rewrite(acc, full))
+      assert(tripleSet(KgDelta.triples(state)) == exp,
+        s"random batch $i: view diverged")
+      ledger = ledger ++ tripleSet(delta.additions) -- tripleSet(delta.retractions)
+      assert(ledger == exp, s"random batch $i: ledger diverged")
+    }
+  }
+
   test("count-only batch flips a representative; shared derivations survive retraction") {
     // batch 1: entity ka (surface Alpha) and unlinked kz (surface Alpha)
     // both assert (Alpha, p, B) — support 2 from two derivations
