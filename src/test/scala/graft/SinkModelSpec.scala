@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TripleSink
+
+/** Model-based randomized testing of the snapshot table: a seeded
+  * random sequence of append / overwrite / merge / compact ops must
+  * match an in-memory model after every commit, every historical
+  * snapshot must time-travel to its recorded model state, incremental
+  * manifest stats must survive a full-recompute audit throughout, and
+  * expiration must only invalidate expired history. */
+class SinkModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def readSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+  test("random append/overwrite/merge/compact sequence matches the model; history time-travels") {
+    val rnd = new scala.util.Random(1234)
+    val path = Files.createTempDirectory("graft-sink-model").toString
+    val preds = Seq("p0", "p1", "p2")
+    def randRows(n: Int): Set[(String, String, String)] =
+      (0 until n).map(_ => (s"s${rnd.nextInt(40)}", preds(rnd.nextInt(3)),
+        s"v${rnd.nextInt(1000000)}")).toSet
+
+    var model = Set.empty[(String, String, String)]
+    // runId -> model state at that commit
+    var history = Vector.empty[(String, Set[(String, String, String)])]
+    var seq = 0
+    var curParts = 4 // one partition spec per snapshot lineage: appends
+                     // must reuse it; overwrite/compact may change it
+    def commitId(kind: String): String = { seq += 1; s"$kind-$seq" }
+
+    // first commit must be an overwrite (merge needs a table)
+    val ops = "ov" +: Seq.fill(17)(rnd.nextInt(4) match {
+      case 0 => "ap"; case 1 => "ov"; case 2 => "mg"; case _ => "cp"
+    })
+    ops.foreach { op =>
+      val id = commitId(op)
+      op match {
+        case "ap" =>
+          val rows = randRows(1 + rnd.nextInt(25)) -- model // appends add NEW rows
+          TripleSink.write(rows.toSeq.toDF("subj", "pred", "obj"), path, id,
+            nParts = curParts, append = true)
+          model = model ++ rows
+        case "ov" =>
+          val rows = randRows(5 + rnd.nextInt(25))
+          curParts = 2 + rnd.nextInt(4)
+          TripleSink.write(rows.toSeq.toDF("subj", "pred", "obj"), path, id,
+            nParts = curParts)
+          model = rows
+        case "mg" =>
+          val upd = randRows(1 + rnd.nextInt(12))
+          TripleSink.merge(spark, path, upd.toSeq.toDF("subj", "pred", "obj"), id)
+          val keys = upd.map(r => (r._1, r._2))
+          model = model.filterNot(r => keys((r._1, r._2))) ++ upd
+        case "cp" =>
+          curParts = 2 + rnd.nextInt(4)
+          TripleSink.compact(spark, path, id, nParts = curParts)
+      }
+      history :+= (id, model)
+      assert(readSet(TripleSink.read(spark, path)) == model, s"read != model after $id")
+      assert(TripleSink.statsAudit(spark, path), s"stats audit failed after $id")
+      // a random historical snapshot must read exactly as recorded
+      val (hid, hmodel) = history(rnd.nextInt(history.size))
+      assert(readSet(TripleSink.readAsOf(spark, path, hid)) == hmodel,
+        s"time travel to $hid diverged after $id")
+    }
+
+    // expire most history: latest still == model, survivors still travel,
+    // expired snapshots fail cleanly
+    val keep = 3
+    TripleSink.expireSnapshots(path, keepLast = keep)
+    assert(readSet(TripleSink.read(spark, path)) == model)
+    assert(TripleSink.statsAudit(spark, path))
+    val (dead, live) = history.splitAt(history.size - keep)
+    live.foreach { case (id, m) =>
+      assert(readSet(TripleSink.readAsOf(spark, path, id)) == m) }
+    dead.takeRight(2).foreach { case (id, _) =>
+      intercept[IllegalArgumentException] { TripleSink.readAsOf(spark, path, id) } }
+  }
+}
