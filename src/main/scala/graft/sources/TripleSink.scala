@@ -284,6 +284,55 @@ object TripleSink {
     (expire.size, dead.size)
   }
 
+  /** Metadata table 1 of 3 — the snapshot log as a DataFrame
+    * (Iceberg's `table$snapshots`): one row per committed manifest,
+    * served from manifest metadata alone (no data scan). */
+  def snapshotsDf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    manifests(path).map(m => (m.seq, m.runId, m.operation, m.snapshotId,
+      m.nParts, m.totalRows, m.visible.size))
+      .toDF("seq", "run_id", "operation", "snapshot_id", "n_parts",
+        "total_rows", "visible_runs")
+  }
+
+  /** Metadata table 2 of 3 — per-partition stats of the LATEST snapshot
+    * (Iceberg's `table$partitions`): rows and content hash straight
+    * from the manifest, which the incremental commit path keeps exact
+    * ([[statsAudit]]). */
+  def partitionsDf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val m = manifests(path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $path"))
+    m.partitions.map(p => (p.partId, p.rows, p.h))
+      .toDF("part_id", "rows", "content_hash")
+  }
+
+  /** Metadata table 3 of 3 — the data files of the LATEST snapshot
+    * (Iceberg's `table$files`): one row per parquet file the snapshot's
+    * visibility actually covers, with sizes — what a scan planner or a
+    * compaction policy looks at (small-file counts drive [[compact]]). */
+  def filesDf(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val m = manifests(path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $path"))
+    val rows = m.visible.flatMap { rv =>
+      val parts = rv.parts.getOrElse(partsOnDisk(path, rv.run))
+      parts.flatMap { pid =>
+        val dir = root(path).resolve("data").resolve(s"run=${rv.run}")
+          .resolve(s"part_id=$pid")
+        if (!Files.isDirectory(dir)) Nil
+        else scala.util.Using.resource(Files.list(dir)) { s =>
+          s.iterator().asScala
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .map(f => (rv.run, pid, f.toString, Files.size(f)))
+            .toList
+        }
+      }
+    }
+    rows.toDF("run_id", "part_id", "file", "bytes")
+  }
+
   /** Table maintenance 3 of 3 — orphan reclamation (Iceberg's
     * `removeOrphanFiles`): delete run directories that NO committed
     * manifest references — the debris of commits that crashed between

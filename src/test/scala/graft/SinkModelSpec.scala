@@ -69,6 +69,24 @@ class SinkModelSpec extends AnyFunSuite {
         s"time travel to $hid diverged after $id")
     }
 
+    // metadata tables agree with the model and the filesystem
+    assert(TripleSink.snapshotsDf(spark, path).count() == history.size.toLong)
+    assert(TripleSink.snapshotsDf(spark, path)
+      .orderBy(org.apache.spark.sql.functions.col("seq"))
+      .select("run_id").as[String].collect().toSeq == history.map(_._1))
+    val partRows = TripleSink.partitionsDf(spark, path)
+      .select("rows").as[Long].collect().sum
+    assert(partRows == model.size.toLong,
+      s"partitions metadata rows $partRows != model ${model.size}")
+    val files = TripleSink.filesDf(spark, path)
+      .select("file", "bytes").as[(String, Long)].collect()
+    assert(files.nonEmpty && files.forall { case (f, b) =>
+      java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(f)) && b > 0 })
+    // reading exactly the listed files reproduces the latest snapshot
+    assert(readSet(spark.read.parquet(files.map(_._1).toSeq: _*)
+      .selectExpr("subj", "pred", "obj")) == model,
+      "files metadata does not cover the snapshot")
+
     // expire most history: latest still == model, survivors still travel,
     // expired snapshots fail cleanly
     val keep = 3
