@@ -736,6 +736,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ORC round trip (round-5; ORC ships in Spark): events written as
+    // ORC and read back under the original schema, aggregated — the
+    // oracle aggregates the ORIGINAL parquet, so any codec value loss
+    // (doubles, micros timestamps) fails the hash. Same proof shape as
+    // the JSONL/CSV rows; ORC needs no timestamp-format plumbing (it is
+    // a typed columnar codec like parquet).
+    "q_source_orc" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val out = scratchDir("graft_events_orc")
+      ev.write.mode("overwrite").orc(out)
+      s.read.schema(ev.schema).orc(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("user_id")).as("sum_user"),
+          dsum(col("value")).as("sum_value"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_us"))
+        .orderBy("event_type")
+    }),
+
     // custom DataSource V2 source: the deterministic synthetic-events
     // generator — partition planning and column pruning implemented by
     // the source itself (SynthSourceSpec asserts both); one splitmix64
@@ -1858,6 +1877,15 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_source_csv" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+        |       max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ORC round trip: identical mirror — the oracle reads the ORIGINAL
+    // parquet, so the row only passes if ORC preserves every value
+    "q_source_orc" ->
       """SELECT event_type, count(*) AS cnt,
         |       CAST(sum(user_id) AS BIGINT) AS sum_user,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
