@@ -1133,6 +1133,31 @@ object SparkEntry {
         .orderBy("subj", "pred", "obj")
     }),
 
+    // Iceberg-emulation CDC / changelog read (A16, round-5): net
+    // row-level changes between two snapshots — an append then a keyed
+    // merge over the base commit — read as _change_type-tagged rows.
+    // The manifest diff scopes the read to files visible on exactly
+    // one side (appended runs + the merge's rewritten partitions);
+    // rows the merge carried over unchanged cancel in the multiset
+    // diff and must NOT appear. DuckDB mirrors the whole thing as
+    // EXCEPT ALL both ways between the two snapshot states.
+    "q_sink_changes" -> ((s, d) => {
+      val path = scratchDir("graft_sink_changes")
+      def seg(lo: Int, hi: Int) = t(s, d, "customer")
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(seg(-1, 200), path, "r1", nParts = 8)
+      graft.sources.TripleSink.write(seg(200, 300), path, "r2", nParts = 8, append = true)
+      val updates = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          concat(lit("SEG-"), col("c_mktsegment")).as("obj"))
+      graft.sources.TripleSink.merge(s, path, updates, "m1")
+      graft.sources.TripleSink.changes(s, path, "r1", "m1")
+        .orderBy("_change_type", "subj", "pred", "obj")
+        .localCheckpoint(true)
+    }),
+
     // Z-order layout (round-5): lineitem rewritten as a Morton-curve
     // table over (l_partkey, l_suppkey) — each file a compact rectangle
     // of the key space, so parquet min/max stats skip row groups for
@@ -2242,6 +2267,32 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM upd u
         |                  WHERE u.subj = b.subj AND u.pred = b.pred)
         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // the changelog read: net changes between the base snapshot and
+    // the post-merge snapshot — DuckDB mirrors it as EXCEPT ALL both
+    // ways between the two reconstructed table states
+    "q_sink_changes" ->
+      """WITH r1 AS (
+        |  SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |  FROM customer WHERE c_custkey <= 200),
+        |upd AS (
+        |  SELECT c_name AS subj, 'in_segment' AS pred, 'SEG-' || c_mktsegment AS obj
+        |  FROM customer WHERE c_custkey <= 50),
+        |m1 AS (
+        |  SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |  FROM customer WHERE c_custkey > 200 AND c_custkey <= 300
+        |  UNION ALL
+        |  SELECT subj, pred, obj FROM upd
+        |  UNION ALL
+        |  SELECT b.subj, b.pred, b.obj FROM r1 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                    WHERE u.subj = b.subj AND u.pred = b.pred)),
+        |ins AS (SELECT * FROM m1 EXCEPT ALL SELECT * FROM r1),
+        |del AS (SELECT * FROM r1 EXCEPT ALL SELECT * FROM m1)
+        |SELECT 'insert' AS "_change_type", subj, pred, obj FROM ins
+        |UNION ALL
+        |SELECT 'delete', subj, pred, obj FROM del
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     // layout is value-transparent: aggregate the ORIGINAL lineitem
     "q_layout_zorder" ->

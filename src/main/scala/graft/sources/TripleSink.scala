@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** A16: graph materialization into an Iceberg-style (subj, pred, obj)
   * triple table, with SNAPSHOTS, time travel, schema evolution, keyed
-  * MERGE upsert and table maintenance (compaction + snapshot GC).
+  * MERGE upsert, CDC changelog reads ([[changes]]), named snapshot
+  * refs ([[tag]]) and table maintenance (compaction + snapshot GC).
   *
   * No Iceberg runtime jar ships in this image (SURVEY.md §7 hard-part 2),
   * so the table format is emulated with the same separation Iceberg
@@ -17,6 +18,7 @@ import org.apache.spark.sql.functions._
   *   <path>/data/run=<runId>/part_id=N/  -- data files per commit
   *   <path>/_manifests/manifest-<seq>-<runId>.json  -- one per snapshot
   *   <path>/_manifest.json               -- copy of the LATEST manifest
+  *   <path>/_refs/tag-<name>.json        -- named snapshot refs
   * }}}
   *
   * Each manifest records which (run, partition) data directories are
@@ -94,7 +96,16 @@ object TripleSink {
     * silently rewrite what [[readAsOf]] returns for it (round-4
     * ADVICE). */
   def write(triples: DataFrame, path: String, runId: String,
-            nParts: Int = 32, append: Boolean = false): Unit = {
+            nParts: Int = 32, append: Boolean = false): Unit =
+    doWrite(triples, path, runId, nParts, append, opLabel = None)
+
+  /** [[write]] with an operation-label override — [[compact]] commits
+    * as `replace` so [[changes]] can tell a value-transparent rewrite
+    * from a real overwrite (Iceberg's snapshot `operation` field makes
+    * the same distinction for its incremental scans). */
+  private def doWrite(triples: DataFrame, path: String, runId: String,
+                      nParts: Int, append: Boolean,
+                      opLabel: Option[String]): Unit = {
     val spark = triples.sparkSession
     val all = manifests(path)
     val prior = all.lastOption
@@ -142,7 +153,8 @@ object TripleSink {
     publish(path, Manifest(
       seq = prior.map(_.seq + 1).getOrElse(0),
       runId = runId,
-      operation = if (isRetry) retryOf.get.operation else if (append) "append" else "overwrite",
+      operation = if (isRetry) retryOf.get.operation
+                  else opLabel.getOrElse(if (append) "append" else "overwrite"),
       snapshotId = partStats.foldLeft(0L)(_ ^ _.h),
       nParts = nParts,
       visible = visible, schema = schema, partitions = partStats,
@@ -239,6 +251,178 @@ object TripleSink {
   def snapshots(path: String): Seq[(Int, String, Long)] =
     manifests(path).map(m => (m.seq, m.runId, m.totalRows))
 
+  /** CDC — incremental / changelog read (Iceberg's changelog scan /
+    * Delta's change data feed): the NET row-level changes between two
+    * committed snapshots, `fromRunId` (exclusive) and `toRunId`
+    * (inclusive), as `_change_type` ("insert" | "delete") followed by
+    * the `to` snapshot's schema. Applying the result to a copy of the
+    * `from` snapshot (add inserts, remove deletes, multiset semantics)
+    * reproduces the `to` snapshot exactly — the contract an
+    * incremental downstream consumer (e.g. a KgDelta fold or a
+    * materialized-view maintainer) needs, with cost scaled to what
+    * changed rather than to the table:
+    *
+    *  - the manifest diff scopes all reads to data files visible on
+    *    exactly one side — an append span reads only the appended
+    *    runs (no diffing at all), a merge span only the rewritten
+    *    partitions (copy-on-write visibility), never the whole table;
+    *  - rows a merge carried over unchanged into its new run cancel
+    *    in the multiset difference (`exceptAll` both ways), so a
+    *    rewritten-but-unmodified row is NOT reported as a change;
+    *  - `replace` commits ([[compact]]) rewrite every file without
+    *    changing a row, so the span is segmented at them and each
+    *    segment diffed against its own endpoints — a changelog read
+    *    across a compaction stays scoped to real changes instead of
+    *    degenerating into "everything was rewritten". Segment
+    *    endpoints always survive retention together with `from`
+    *    (expiration keeps a contiguous manifest suffix). Cross-segment
+    *    flip-flops (inserted then deleted) cancel in a final pass over
+    *    only the changed rows.
+    *
+    * Schema evolution: old files are projected under the `to` schema
+    * (missing columns null-filled), matching what a reader of the `to`
+    * snapshot sees. */
+  def changes(spark: SparkSession, path: String, fromRunId: String,
+              toRunId: String): DataFrame = {
+    val all = manifests(path)
+    def snap(run: String): Manifest = all.filter(_.runId == run).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot for run_id=$run under $path"))
+    val mFrom = snap(fromRunId)
+    val mTo = snap(toRunId)
+    require(mFrom.seq <= mTo.seq,
+      s"from run_id=$fromRunId (seq=${mFrom.seq}) is newer than " +
+        s"to run_id=$toRunId (seq=${mTo.seq})")
+    val cols = mTo.schema
+
+    def fileSet(m: Manifest): Set[(String, Int)] = m.visible.flatMap { rv =>
+      rv.parts.getOrElse(partsOnDisk(path, rv.run)).map(p => (rv.run, p))
+    }.toSet
+
+    def emptyFrame: DataFrame =
+      spark.range(0).select(cols.map { case (n, t) =>
+        lit(null).cast(t).as(n) }: _*)
+
+    def readPairs(pairs: Set[(String, Int)]): DataFrame =
+      if (pairs.isEmpty) emptyFrame
+      else {
+        val raw = spark.read.option("basePath", s"$path/data")
+          .option("mergeSchema", "true")
+          .parquet(pairs.toSeq.sorted.map { case (r, p) =>
+            s"$path/data/run=$r/part_id=$p" }: _*)
+        val present = raw.columns.toSet
+        val filled = cols.foldLeft(raw) { case (df, (n, t)) =>
+          if (present(n)) df else df.withColumn(n, lit(null).cast(t)) }
+        filled.select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+      }
+
+    // segments: (from → pred(replace_1)], (replace_1 → pred(replace_2)],
+    // …, (replace_k → to]. Each replace equals its predecessor in
+    // content, so per-segment diffs sum (as signed multisets) to the
+    // endpoint-to-endpoint net change.
+    val span = all.filter(m => m.seq > mFrom.seq && m.seq <= mTo.seq)
+    val replaces = span.filter(_.operation == "replace")
+    val starts = mFrom +: replaces
+    val ends = replaces.map { r =>
+      // content equality (replace == predecessor) only holds for the
+      // TRUE predecessor; retention normally keeps a contiguous suffix,
+      // but a tag-pinned `from` can sit below expired history — refuse
+      // rather than diff against the wrong baseline
+      val pred = all.takeWhile(_.seq < r.seq).last
+      require(pred.seq == r.seq - 1,
+        s"cannot read changes across replace run_id=${r.runId}: its " +
+          s"predecessor snapshot (seq=${r.seq - 1}) has been expired")
+      pred
+    } :+ mTo
+    val segs = starts.zip(ends).filter { case (a, b) => a.seq < b.seq }
+
+    val (insSegs, delSegs) = segs.map { case (a, b) =>
+      val fa = fileSet(a)
+      val fb = fileSet(b)
+      val removed = fa -- fb
+      val added = fb -- fa
+      val oldRows = readPairs(removed)
+      val newRows = readPairs(added)
+      // pure-append segment: nothing removed → every added row is an
+      // insert, no diff shuffle at all (and symmetrically for drops)
+      val ins = if (removed.isEmpty) newRows else newRows.exceptAll(oldRows)
+      val del = if (added.isEmpty) oldRows else oldRows.exceptAll(newRows)
+      (ins, del)
+    }.unzip
+
+    val (insNet, delNet) =
+      if (segs.isEmpty) (emptyFrame, emptyFrame)
+      else {
+        val insAll = insSegs.reduce(_ unionByName _)
+        val delAll = delSegs.reduce(_ unionByName _)
+        // within one segment ins/del are disjoint by construction;
+        // across segments a row can flip-flop — cancel it
+        if (segs.size == 1) (insAll, delAll)
+        else (insAll.exceptAll(delAll), delAll.exceptAll(insAll))
+      }
+
+    insNet.withColumn("_change_type", lit("insert"))
+      .unionByName(delNet.withColumn("_change_type", lit("delete")))
+      .select(col("_change_type") +: cols.map(c => col(c._1)): _*)
+  }
+
+  /** Snapshot refs 1 of 4 — TAG a snapshot (Iceberg's named refs): a
+    * durable name for the snapshot `runId` committed, stored under
+    * `<path>/_refs/`. Tags pin their snapshot through retention:
+    * [[expireSnapshots]] keeps a tagged manifest (and the run dirs it
+    * references) alive however old it gets — the mechanism that lets a
+    * 10^12-row table run aggressive GC while audited states ("the
+    * corpus the model shipped on") stay time-travelable forever.
+    * Tag names are immutable while held: re-tagging an existing name
+    * to a different snapshot is rejected ([[dropTag]] first). */
+  def tag(path: String, name: String, runId: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+    val m = manifests(path).filter(_.runId == runId).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot for run_id=$runId under $path"))
+    val rdir = root(path).resolve("_refs")
+    Files.createDirectories(rdir)
+    val target = rdir.resolve(s"tag-$name.json")
+    require(!Files.exists(target),
+      s"tag '$name' already exists (dropTag first; tags are immutable)")
+    val body = s"""{"tag":"$name","run_id":"$runId","seq":${m.seq}}"""
+      .getBytes(StandardCharsets.UTF_8)
+    val tmp = Files.createTempFile(rdir, s".tag-$name-", ".tmp")
+    Files.write(tmp, body)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Snapshot refs 2 of 4 — read the table as of a tag. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    readAsOf(spark, path, resolveTag(path, name).getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' under $path")))
+
+  /** Snapshot refs 3 of 4 — the tag list: (name, run_id), name-sorted. */
+  def tags(path: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val rdir = root(path).resolve("_refs")
+    if (!Files.isDirectory(rdir)) return Nil
+    val pat = """tag-(.+)\.json""".r
+    scala.util.Using.resource(Files.list(rdir)) { s =>
+      s.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case pat(name) =>
+            Some(name -> mapper.readTree(Files.readAllBytes(p))
+              .get("run_id").asText())
+          case _ => None
+        }
+      }.toList.sortBy(_._1)
+    }
+  }
+
+  /** Snapshot refs 4 of 4 — drop a tag, releasing its snapshot to the
+    * next [[expireSnapshots]]. Returns whether the tag existed. */
+  def dropTag(path: String, name: String): Boolean =
+    Files.deleteIfExists(root(path).resolve("_refs").resolve(s"tag-$name.json"))
+
+  private def resolveTag(path: String, name: String): Option[String] =
+    tags(path).collectFirst { case (n, r) if n == name => r }
+
   /** Full-recompute verification of the incremental stats: rescans the
     * LATEST snapshot's visible data and compares per-partition
     * (rows, hash) and the folded snapshot_id against the manifest.
@@ -273,7 +457,12 @@ object TripleSink {
   def expireSnapshots(path: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val all = manifests(path)
-    val (expire, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val tagged = tags(path).map(_._2).toSet
+    val (candidates, suffix) = all.splitAt(math.max(0, all.size - keepLast))
+    // tags pin their snapshot (Iceberg ref-retention semantics): a
+    // tagged manifest survives however far it falls behind keepLast
+    val (keepTagged, expire) = candidates.partition(m => tagged(m.runId))
+    val keep = keepTagged ++ suffix
     val live = keep.flatMap(_.visibleRunNames).toSet
     val dead = expire.flatMap(_.visibleRunNames).distinct
       .filterNot(live)
@@ -389,9 +578,11 @@ object TripleSink {
   def compact(spark: SparkSession, path: String, runId: String,
               nParts: Int = 32): Unit =
     // localCheckpoint: the overwrite commit must not lazily re-read
-    // run dirs while (in the retry case) rewriting one of them
-    write(read(spark, path).localCheckpoint(true), path, runId, nParts,
-      append = false)
+    // run dirs while (in the retry case) rewriting one of them.
+    // Committed as `replace`: values are untouched, so changelog
+    // reads skip it rather than reporting a full-table rewrite.
+    doWrite(read(spark, path).localCheckpoint(true), path, runId, nParts,
+      append = false, opLabel = Some("replace"))
 
   // ---- internals -----------------------------------------------------
 

@@ -170,6 +170,119 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("sink changes: changelog read is scoped, cancels carried-over rows, and skips compactions") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-cdc").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+    def chg(from: String, to: String): Set[(String, String, String, String)] =
+      TripleSink.changes(spark, path, from, to)
+        .as[(String, String, String, String)].collect().toSet
+
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")),
+      path, "r1", nParts = 4)
+    TripleSink.write(frame(("d", "p", "4")), path, "r2", nParts = 4, append = true)
+
+    // pure-append span: inserts only, and only the appended run is read
+    assert(chg("r1", "r2") == Set(("insert", "d", "p", "4")))
+    // empty span: from == to
+    assert(chg("r2", "r2") == Set.empty)
+    // from newer than to -> rejected
+    intercept[IllegalArgumentException] { TripleSink.changes(spark, path, "r2", "r1") }
+
+    // merge updates b's obj and inserts e — the merge rewrites whole
+    // partitions, but rows it carried over UNCHANGED (whatever shares
+    // b/e's partitions) must cancel out of the changelog
+    TripleSink.merge(spark, path,
+      frame(("b", "p", "2x"), ("e", "p", "5")), "m1")
+    assert(chg("r2", "m1") == Set(
+      ("insert", "b", "p", "2x"), ("insert", "e", "p", "5"),
+      ("delete", "b", "p", "2")))
+    // span covering append + merge composes
+    assert(chg("r1", "m1") == Set(
+      ("insert", "d", "p", "4"), ("insert", "b", "p", "2x"),
+      ("insert", "e", "p", "5"), ("delete", "b", "p", "2")))
+
+    // compaction rewrites EVERY file but changes no row: a changelog
+    // span crossing it must segment at the replace commit and report
+    // only the real changes on either side (not a full-table rewrite)
+    TripleSink.compact(spark, path, "c1", nParts = 2)
+    assert(chg("m1", "c1") == Set.empty, "compaction must produce zero changes")
+    TripleSink.write(frame(("f", "p", "6")), path, "r3", nParts = 2, append = true)
+    assert(chg("r2", "r3") == Set(
+      ("insert", "b", "p", "2x"), ("insert", "e", "p", "5"),
+      ("delete", "b", "p", "2"), ("insert", "f", "p", "6")))
+
+    // a cross-segment flip-flop cancels: e is deleted after the
+    // compaction by a merge that keeps only a new row for it
+    TripleSink.merge(spark, path, frame(("e", "p", "5y")), "m2")
+    val span = chg("r2", "m2")
+    assert(span == Set(
+      ("insert", "b", "p", "2x"), ("delete", "b", "p", "2"),
+      ("insert", "e", "p", "5y"), ("insert", "f", "p", "6")),
+      s"e's pre-compaction insert of 5 must cancel against its post-compaction delete; got $span")
+
+    // the contract: from-snapshot + inserts - deletes == to-snapshot
+    val fromRows = TripleSink.readAsOf(spark, path, "r2")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val applied = span.foldLeft(fromRows) { case (acc, (ct, s, p, o)) =>
+      val k = (s, p, o)
+      val d = if (ct == "insert") 1 else -1
+      acc + (k -> (acc.getOrElse(k, 0) + d))
+    }.filter(_._2 != 0)
+    val toRows = TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(applied == toRows, "applying the changelog to `from` must reproduce `to`")
+  }
+
+  test("sink tags: a tagged snapshot survives aggressive retention; dropping the tag releases it") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-tags").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+
+    TripleSink.write(frame(("a", "p", "1")), path, "r1", nParts = 2)
+    TripleSink.write(frame(("b", "p", "2")), path, "r2", nParts = 2)
+    TripleSink.write(frame(("c", "p", "3")), path, "r3", nParts = 2)
+    TripleSink.tag(path, "model-v1", "r1")
+    assert(TripleSink.tags(path) == Seq("model-v1" -> "r1"))
+    // immutable while held; unknown snapshot rejected
+    intercept[IllegalArgumentException] { TripleSink.tag(path, "model-v1", "r2") }
+    intercept[IllegalArgumentException] { TripleSink.tag(path, "other", "nope") }
+
+    // aggressive retention: r2 expires, but the tag PINS r1 (manifest
+    // AND data) however far behind keepLast it falls
+    val (mDel, dDel) = TripleSink.expireSnapshots(path, keepLast = 1)
+    assert(mDel == 1 && dDel == 1, s"expected (1,1): only r2 reclaimed, got ($mDel,$dDel)")
+    assert(TripleSink.readTag(spark, path, "model-v1")
+      .select("subj").as[String].collect().toSeq == Seq("a"))
+    assert(TripleSink.readAsOf(spark, path, "r1")
+      .select("subj").as[String].collect().toSeq == Seq("a"))
+    intercept[IllegalArgumentException] { TripleSink.readAsOf(spark, path, "r2") }
+
+    // changes across the expiry hole still work for plain snapshots
+    // (endpoint file-diff needs no intermediate manifests)…
+    assert(TripleSink.changes(spark, path, "r1", "r3")
+      .as[(String, String, String, String)].collect().toSet ==
+      Set(("insert", "c", "p", "3"), ("delete", "a", "p", "1")))
+    // …but a replace whose true predecessor was expired is refused
+    // rather than diffed against the wrong baseline
+    TripleSink.compact(spark, path, "c1", nParts = 2)
+    TripleSink.expireSnapshots(path, keepLast = 1) // r3 expires; r1 stays pinned
+    intercept[IllegalArgumentException] {
+      TripleSink.changes(spark, path, "r1", "c1")
+    }
+
+    // dropping the tag releases the snapshot to the next GC
+    assert(TripleSink.dropTag(path, "model-v1"))
+    assert(!TripleSink.dropTag(path, "model-v1"))
+    val (mDel2, dDel2) = TripleSink.expireSnapshots(path, keepLast = 1)
+    assert(mDel2 == 1 && dDel2 == 1)
+    intercept[IllegalArgumentException] { TripleSink.readAsOf(spark, path, "r1") }
+    assert(TripleSink.read(spark, path)
+      .select("subj").as[String].collect().toSeq == Seq("c"))
+  }
+
   test("sink merge: keyed upsert rewrites ONLY affected partitions (true copy-on-write)") {
     import graft.sources.TripleSink
     import java.nio.file.{Files => F, Paths => P}
