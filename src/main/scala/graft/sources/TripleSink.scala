@@ -115,8 +115,9 @@ object TripleSink {
         s"run_id=$runId already committed at seq=${orig.seq} and is not the " +
           "latest snapshot - re-committing it would rewrite readAsOf history " +
           "(idempotent retry is only defined for the latest snapshot)")
-      require(orig.operation != "merge",
-        s"run_id=$runId was a merge commit; merges are not retryable via write()")
+      require(orig.operation != "merge" && orig.operation != "delta",
+        s"run_id=$runId was a ${orig.operation} commit; partition-swap " +
+          "commits are not retryable via write()")
       require(orig.nParts == nParts,
         s"retry of run_id=$runId must reuse its nParts=${orig.nParts}, got $nParts")
     }
@@ -208,20 +209,88 @@ object TripleSink {
     writeRunData(newData, path, runId, nParts)
     val newStats = runStats(spark, path, runId)
 
+    publishSwap(path, prior, runId, affected, newStats, "merge")
+  }
+
+  /** Row-level DELTA commit — the MERGE/DELETE pairing an incrementally
+    * maintained view needs: `retractions` rows LEAVE the table
+    * (full-row match on the data schema, set semantics — every copy of
+    * a retracted row goes) and `additions` rows ENTER it, as ONE
+    * copy-on-write snapshot. Only the hash partitions containing an
+    * addition or retraction subject are rewritten; an empty delta
+    * publishes a no-op snapshot so a one-commit-per-batch consumer
+    * keeps its bookkeeping. This is the sink-side counterpart of
+    * [[graft.operators.KgDelta]]'s per-batch Delta: applying each
+    * batch's (additions, retractions) keeps the materialized canonical
+    * triple view current at O(affected partitions) per batch, and
+    * [[changes]] between the resulting snapshots reads the exact delta
+    * back out (KgDeltaSpec closes that loop). */
+  def applyDelta(spark: SparkSession, path: String, additions: DataFrame,
+                 retractions: DataFrame, runId: String): Unit = {
+    val all = manifests(path)
+    require(all.nonEmpty,
+      s"delta into an empty table under $path (bootstrap with write())")
+    require(!all.exists(_.runId == runId),
+      s"run_id=$runId already committed - delta commits are not retryable")
+    val prior = all.last
+    val nParts = prior.nParts
+    val schemaCols = prior.schema.map(_._1)
+    def conform(df: DataFrame, what: String): DataFrame = {
+      require(df.columns.toSet == schemaCols.toSet,
+        s"$what schema ${df.columns.sorted.mkString(",")} must equal the " +
+          s"table schema ${schemaCols.sorted.mkString(",")}")
+      df.select(schemaCols.map(col): _*)
+        .withColumn("part_id", pmod(xxhash64(col("subj")), lit(nParts)).cast("int"))
+        .localCheckpoint(true) // must not lazily re-read dirs this commit swaps out
+    }
+    val add = conform(additions, "additions")
+    val del = conform(retractions, "retractions")
+    val affected = add.select("part_id").unionByName(del.select("part_id"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nParts
+    if (affected.isEmpty) {
+      publish(path, prior.copy(seq = prior.seq + 1, runId = runId,
+        operation = "delta", file = null))
+      return
+    }
+    // partition pruning: only affected part dirs of each visible run are read
+    val touchedOld = readVisible(spark, path, prior)
+      .filter(col("part_id").isin(affected: _*))
+      .select(schemaCols.map(col): _*)
+    val cond = schemaCols.map(c => col(c) <=> col(s"r_$c")).reduce(_ && _)
+    val survivors = touchedOld.join(
+      del.select(schemaCols.map(c => col(c).as(s"r_$c")): _*).distinct(),
+      cond, "left_anti")
+    val newData = survivors.unionByName(add.select(schemaCols.map(col): _*))
+      // materialize BEFORE the write (same reason as merge)
+      .localCheckpoint(true)
+    writeRunData(newData, path, runId, nParts)
+    publishSwap(path, prior, runId, affected, runStats(spark, path, runId), "delta")
+  }
+
+  /** Publish a copy-on-write partition-swap commit: `affected`
+    * partitions now live in run `runId` — restricted to the parts it
+    * actually wrote, so a partition emptied by deletes simply
+    * disappears from visibility — all others keep their prior
+    * visibility; stats carry over for untouched partitions and fold in
+    * the new run's. */
+  private def publishSwap(path: String, prior: Manifest, runId: String,
+                          affected: Seq[Int], newStats: Seq[PartStat],
+                          op: String): Unit = {
     val affectedSet = affected.toSet
     val keptVis = prior.visible.flatMap { rv =>
       val concrete = rv.parts.getOrElse(partsOnDisk(path, rv.run))
       val kept = concrete.filterNot(affectedSet)
       if (kept.isEmpty) None else Some(RunVis(rv.run, Some(kept.sorted)))
     }
+    val written = partsOnDisk(path, runId)
+    val vis = if (written.isEmpty) keptVis else keptVis :+ RunVis(runId, Some(written))
     val partStats = (prior.partitions.filterNot(p => affectedSet(p.partId)) ++ newStats)
       .sortBy(_.partId)
     publish(path, Manifest(
-      seq = prior.seq + 1, runId = runId, operation = "merge",
+      seq = prior.seq + 1, runId = runId, operation = op,
       snapshotId = partStats.foldLeft(0L)(_ ^ _.h),
-      nParts = nParts,
-      visible = keptVis :+ RunVis(runId, Some(affected)),
-      schema = prior.schema, partitions = partStats, file = null))
+      nParts = prior.nParts,
+      visible = vis, schema = prior.schema, partitions = partStats, file = null))
   }
 
   /** The table as of its LATEST snapshot. */

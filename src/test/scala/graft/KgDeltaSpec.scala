@@ -57,6 +57,47 @@ class KgDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("applyDelta: per-batch deltas maintain the sink view; changes() reads each delta back") {
+    import graft.sources.TripleSink
+    val raw = Pipeline.runOnTestdata(spark, "/root/testdata/sf0.001")
+      .rawTriples.toDF().localCheckpoint(true)
+    val batches = (0 until 3).map(b =>
+      raw.filter(pmod(xxhash64(col("url")), lit(3)) === b).select(Slim.map(col): _*))
+    val path = java.nio.file.Files.createTempDirectory("graft-kg-sink-delta").toString
+
+    var state = KgDelta.empty(spark)
+    var acc: DataFrame = null
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val (st2, delta) = KgDelta.update(state, b)
+      state = st2
+      acc = if (acc == null) b else acc.unionByName(b)
+      if (i == 0)
+        TripleSink.write(delta.additions, path, "batch-0", nParts = 8)
+      else
+        TripleSink.applyDelta(spark, path, delta.additions, delta.retractions,
+          s"batch-$i")
+
+      // the sink table IS the canonical view after every batch — equal
+      // to a from-scratch recompute over the accumulated corpus
+      val expTriples = tripleSet(Canonicalize.rewrite(acc, fullCanon(acc)))
+      assert(tripleSet(TripleSink.read(spark, path)) == expTriples,
+        s"sink view diverged from full recompute after batch $i")
+
+      if (i > 0) {
+        // CDC read-back: the changelog between consecutive snapshots is
+        // exactly the delta that was applied
+        val chg = TripleSink.changes(spark, path, s"batch-${i - 1}", s"batch-$i")
+          .localCheckpoint(true)
+        assert(tripleSet(chg.filter(col("_change_type") === "insert")) ==
+          tripleSet(delta.additions),
+          s"changelog inserts != applied additions at batch $i")
+        assert(tripleSet(chg.filter(col("_change_type") === "delete")) ==
+          tripleSet(delta.retractions),
+          s"changelog deletes != applied retractions at batch $i")
+      }
+    }
+  }
+
   test("randomized batches (seeded): delta == full recompute at every step") {
     // adversarial generator: hex base keys with linked surface variants
     // (base / base+x / base+xy), skewed key reuse across batches, random

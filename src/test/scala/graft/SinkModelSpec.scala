@@ -5,11 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.TripleSink
 
 /** Model-based randomized testing of the snapshot table: a seeded
-  * random sequence of append / overwrite / merge / compact ops must
-  * match an in-memory model after every commit, every historical
-  * snapshot must time-travel to its recorded model state, incremental
-  * manifest stats must survive a full-recompute audit throughout, and
-  * expiration must only invalidate expired history. */
+  * random sequence of append / overwrite / merge / delta / compact ops
+  * must match an in-memory model after every commit, every historical
+  * snapshot must time-travel to its recorded model state, the
+  * changelog between any two snapshots must equal the model diff,
+  * incremental manifest stats must survive a full-recompute audit
+  * throughout, and expiration must only invalidate expired history. */
 class SinkModelSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -17,7 +18,7 @@ class SinkModelSpec extends AnyFunSuite {
   private def readSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
     df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
 
-  test("random append/overwrite/merge/compact sequence matches the model; history time-travels") {
+  test("random append/overwrite/merge/delta/compact sequence matches the model; history time-travels") {
     val rnd = new scala.util.Random(1234)
     val path = Files.createTempDirectory("graft-sink-model").toString
     val preds = Seq("p0", "p1", "p2")
@@ -33,9 +34,10 @@ class SinkModelSpec extends AnyFunSuite {
                      // must reuse it; overwrite/compact may change it
     def commitId(kind: String): String = { seq += 1; s"$kind-$seq" }
 
-    // first commit must be an overwrite (merge needs a table)
-    val ops = "ov" +: Seq.fill(17)(rnd.nextInt(4) match {
-      case 0 => "ap"; case 1 => "ov"; case 2 => "mg"; case _ => "cp"
+    // first commit must be an overwrite (merge/delta need a table)
+    val ops = "ov" +: Seq.fill(20)(rnd.nextInt(5) match {
+      case 0 => "ap"; case 1 => "ov"; case 2 => "mg"; case 3 => "dl"
+      case _ => "cp"
     })
     ops.foreach { op =>
       val id = commitId(op)
@@ -56,6 +58,16 @@ class SinkModelSpec extends AnyFunSuite {
           TripleSink.merge(spark, path, upd.toSeq.toDF("subj", "pred", "obj"), id)
           val keys = upd.map(r => (r._1, r._2))
           model = model.filterNot(r => keys((r._1, r._2))) ++ upd
+        case "dl" =>
+          // row-level delta: retract a random existing subset, add new
+          // rows (possibly both empty -> the no-op-snapshot path)
+          val adds = randRows(rnd.nextInt(10)) -- model
+          val dels = rnd.shuffle(model.toSeq)
+            .take(rnd.nextInt(1 + model.size / 3)).toSet
+          TripleSink.applyDelta(spark, path,
+            adds.toSeq.toDF("subj", "pred", "obj"),
+            dels.toSeq.toDF("subj", "pred", "obj"), id)
+          model = model -- dels ++ adds
         case "cp" =>
           curParts = 2 + rnd.nextInt(4)
           TripleSink.compact(spark, path, id, nParts = curParts)
@@ -67,6 +79,15 @@ class SinkModelSpec extends AnyFunSuite {
       val (hid, hmodel) = history(rnd.nextInt(history.size))
       assert(readSet(TripleSink.readAsOf(spark, path, hid)) == hmodel,
         s"time travel to $hid diverged after $id")
+      // the changelog from a random earlier snapshot to now must equal
+      // the model diff — across whatever merges/deltas/compactions the
+      // span happens to contain
+      val (cid, cmodel) = history(rnd.nextInt(history.size))
+      val chg = TripleSink.changes(spark, path, cid, id).localCheckpoint(true)
+      assert(readSet(chg.filter(chg("_change_type") === "insert")) == model -- cmodel,
+        s"changelog inserts $cid -> $id diverged from model diff")
+      assert(readSet(chg.filter(chg("_change_type") === "delete")) == cmodel -- model,
+        s"changelog deletes $cid -> $id diverged from model diff")
     }
 
     // metadata tables agree with the model and the filesystem
