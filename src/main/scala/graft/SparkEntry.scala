@@ -697,6 +697,22 @@ object SparkEntry {
         .localCheckpoint(true)
     }),
 
+    // the full durable incremental loop (round-5): micro-batches fold
+    // into the maintained KG and each fold's delta commits to the
+    // snapshot table row-level, so the table read back here IS the
+    // current canonical triple view. Model-based output (Viterbi) →
+    // rows-only at the driver; StreamingSpec asserts the table equals
+    // the batch pipeline value-for-value and that restart is a no-op.
+    "q_stream_kg_sink" -> ((s, d) => {
+      val base = scratchDir("graft_stream_kg_sink")
+      graft.streaming.Streaming.kgMaintainToSink(
+        s, d, s"$base/table", s"$base/state", s"$base/ckpt")
+      graft.sources.TripleSink.read(s, s"$base/table")
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+        .localCheckpoint(true)
+    }),
+
     // JSON-lines source format: events written as canonical JSONL then
     // read back under an explicit schema and aggregated — the oracle
     // aggregates the ORIGINAL parquet, so the query only passes if the

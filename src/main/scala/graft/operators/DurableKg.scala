@@ -85,8 +85,19 @@ final class DurableKg(spark: SparkSession, dir: String,
   /** Fold one micro-batch under a caller-supplied batch id (Structured
     * Streaming's foreachBatch id, or any monotone sequence). Returns
     * the batch's triple-view delta — or None when the id is already
-    * committed (restart no-op). */
-  def fold(batchRaw: DataFrame, batchId: Long): Option[KgDelta.Delta] = {
+    * committed (restart no-op).
+    *
+    * `onDelta` runs with the batch's delta AFTER the fold's state is
+    * durable but BEFORE the fold commits — the seam for publishing the
+    * delta to a downstream sink exactly-once without a transaction
+    * spanning both stores: a crash before the fold commit retries the
+    * whole batch under the same id, recomputing the IDENTICAL delta
+    * (the fold is deterministic), so the downstream publish only has
+    * to be idempotent per batch id (TripleSink.applyDelta is; see
+    * Streaming.kgMaintainToSink). A crash after the commit skips both
+    * sides on retry. */
+  def fold(batchRaw: DataFrame, batchId: Long,
+           onDelta: KgDelta.Delta => Unit = _ => ()): Option[KgDelta.Delta] = {
     if (committed.contains(batchId)) return None
     val (st2, delta, app) = KgDelta.updateFull(cached, batchRaw, localThreshold)
     val appends = Seq("counts" -> app.counts, "bands" -> app.bands,
@@ -96,6 +107,7 @@ final class DurableKg(spark: SparkSession, dir: String,
     }
     st2.assign.write.mode("overwrite").parquet(s"$dir/keyed/v=$batchId/assign")
     st2.canon.write.mode("overwrite").parquet(s"$dir/keyed/v=$batchId/canon")
+    onDelta(delta)
     publishCommit(batchId)
     // supersede older keyed versions (the newest committed one is the
     // only one load() reads; retention beyond it is TripleSink's job

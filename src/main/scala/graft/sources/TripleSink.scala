@@ -230,8 +230,17 @@ object TripleSink {
     val all = manifests(path)
     require(all.nonEmpty,
       s"delta into an empty table under $path (bootstrap with write())")
-    require(!all.exists(_.runId == runId),
-      s"run_id=$runId already committed - delta commits are not retryable")
+    val retry = all.find(_.runId == runId)
+    if (retry.isDefined) {
+      // idempotent retry (Structured Streaming re-runs a failed batch
+      // under the SAME id): the latest delta commit already published —
+      // and a deterministic producer recomputes the identical delta —
+      // so re-applying is a no-op. Any OLDER runId stays rejected.
+      require(all.last.runId == runId && retry.get.operation == "delta",
+        s"run_id=$runId already committed at seq=${retry.get.seq} as " +
+          s"${retry.get.operation} - only the LATEST delta commit is retryable")
+      return
+    }
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)

@@ -299,6 +299,59 @@ object Streaming {
     (kg.state, folds)
   }
 
+  /** The FULL incremental loop, durable end to end: micro-batches fold
+    * into the maintained KG ([[graft.operators.DurableKg]]) and each
+    * fold's triple-view delta is published to a snapshot table as one
+    * row-level commit (TripleSink.applyDelta; the first batch
+    * bootstraps with an overwrite). The table therefore always holds
+    * the CURRENT canonical triple view — not the raw ingest log — with
+    * per-batch snapshots to time-travel and a changelog
+    * (TripleSink.changes) downstream consumers read deltas back out
+    * of. Exactly-once across BOTH stores with no cross-store
+    * transaction: the checkpoint ledger pins inputs to batch ids, the
+    * fold is deterministic, the sink commit (inside the fold's
+    * pre-commit onDelta seam) is idempotent per batch id, and the fold
+    * marker commits last — every crash window either retries both
+    * sides under the same id or skips both (StreamingSpec asserts
+    * restart is a no-op and the table equals the batch pipeline).
+    * Per-batch cost is O(batch + touched components + affected
+    * partitions); nothing in the loop rescans the accumulated corpus
+    * or rewrites the unaffected table. Returns the maintained state
+    * and how many NEW folds this drain committed. */
+  def kgMaintainToSink(spark: SparkSession, sfDir: String,
+                       tablePath: String, stateDir: String,
+                       checkpointDir: String, nParts: Int = 16,
+                       filesPerTrigger: Option[Int] = None)
+      : (graft.operators.KgDelta.State, Int) = {
+    import graft.sources.TripleSink
+    val kg = new graft.operators.DurableKg(spark, stateDir)
+    var folds = 0
+    val q = rawTriplesStream(spark, sfDir, nParts, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val runId = f"batch-$id%06d"
+        val applied = kg.fold(batch, id, delta => {
+          val snaps = TripleSink.snapshots(tablePath)
+          if (snaps.isEmpty)
+            TripleSink.write(delta.additions, tablePath, runId, nParts = 8)
+          else if (snaps.last._2 == runId)
+            () // crash landed between the sink commit and the fold
+               // marker: the snapshot (overwrite bootstrap or delta)
+               // is already published with this very content
+          else
+            TripleSink.applyDelta(spark, tablePath,
+              delta.additions, delta.retractions, runId)
+        })
+        if (applied.isDefined) folds += 1
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (kg.state, folds)
+  }
+
   /** Streaming ingest into the SNAPSHOT TABLE ([[graft.sources
     * .TripleSink]]) — the Iceberg streaming-commit pattern, vs
     * [[triplesIngestDurable]]'s flat file sink. Each micro-batch

@@ -286,6 +286,53 @@ class StreamingSpec extends AnyFunSuite {
       "streamed delta triple view diverged from the batch pipeline")
   }
 
+  test("kgMaintainToSink: the snapshot table tracks the canonical view batch by batch; restart is a no-op") {
+    import spark.implicits._
+    import graft.sources.TripleSink
+    val base = java.nio.file.Files.createTempDirectory("graft_kg_sink").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(3).write.parquet(s"$base/documents.parquet")
+
+    val (state, folds1) = Streaming.kgMaintainToSink(spark, base,
+      s"$base/table", s"$base/state", s"$base/ckpt", filesPerTrigger = Some(1))
+    assert(folds1 >= 2, s"expected a multi-fold drain, got $folds1")
+
+    // the table holds the CURRENT canonical triple view — equal to the
+    // batch pipeline from scratch over the same pages, value for value
+    val out = Pipeline.runOnTestdata(spark, base)
+    val expected = out.triples.select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().toSet
+    def tableSet = TripleSink.read(spark, s"$base/table")
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(tableSet == expected, "maintained table diverged from the batch pipeline")
+    assert(tableSet == graft.operators.KgDelta.triples(state)
+      .as[(String, String, String)].collect().toSet)
+
+    // one snapshot per fold (bootstrap overwrite + one delta per batch),
+    // and the manifest stats survive a full-recompute audit
+    val snaps = TripleSink.snapshots(s"$base/table")
+    assert(snaps.size == folds1 && snaps.forall(_._2.startsWith("batch-")))
+    assert(TripleSink.statsAudit(spark, s"$base/table"))
+
+    // restart over unchanged input: no folds, no snapshots, same table
+    val (_, folds2) = Streaming.kgMaintainToSink(spark, base,
+      s"$base/table", s"$base/state", s"$base/ckpt", filesPerTrigger = Some(1))
+    assert(folds2 == 0, s"restart re-folded $folds2 batches")
+    assert(TripleSink.snapshots(s"$base/table").size == snaps.size,
+      "restart published new snapshots")
+    assert(tableSet == expected, "restart changed the table")
+
+    // the crash window between sink commit and fold marker: simulate by
+    // re-invoking the latest delta commit directly — must be a no-op
+    if (snaps.size > 1) {
+      val before = tableSet
+      TripleSink.applyDelta(spark, s"$base/table",
+        spark.emptyDataFrame.select(), // ignored on the retry path
+        spark.emptyDataFrame.select(), snaps.last._2)
+      assert(tableSet == before, "idempotent delta retry changed the table")
+    }
+  }
+
   test("triplesIngestDeltaDurable: restart folds nothing and reloads the identical state") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_delta_durable").toString
