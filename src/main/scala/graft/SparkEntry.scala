@@ -963,6 +963,30 @@ object SparkEntry {
           col("text").rlike("[0-9]{2,}").as("has_multidigit"))
         .orderBy("doc_id")),
 
+    // ---- edit-distance disambiguation (the A13 feature family on a
+    // deterministic table): each corrupted probe name resolves to its
+    // nearest catalog name by levenshtein, tie-broken lexically so the
+    // pick is hash-stable. Plan shape = ANN brute force: the tiny probe
+    // set broadcasts, one narrow codegen'd pass scores the catalog, and
+    // only (probe, best) survives the exchange — at 10^12 names the
+    // catalog never shuffles (a production resolver adds the same
+    // prefix/length blocking Linking.scala uses to skip the scan). ----
+    "q_string_editdist" -> ((s, d) => {
+      val names = t(s, d, "customer").select("c_name")
+      val probes = t(s, d, "customer").filter(col("c_custkey") < 5)
+        .select(concat(substring(col("c_name"), 1, 9), lit("X"),
+          substring(col("c_name"), 11, 1000)).as("probe"))
+      val w = Window.partitionBy("probe")
+        .orderBy(col("dist"), col("c_name"))
+      names.crossJoin(broadcast(probes))
+        .withColumn("dist", levenshtein(col("probe"), col("c_name")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe"), col("c_name").as("best"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("probe")
+    }),
+
     // ---- deterministic content-hash sampling (reproducible ~1/8
     // sample that any engine recomputes identically — the portable
     // alternative to seed-based TABLESAMPLE) ----
@@ -2283,6 +2307,21 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM upd u
         |                  WHERE u.subj = b.subj AND u.pred = b.pred)
         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // nearest-name resolution by edit distance, deterministic tiebreak
+    "q_string_editdist" ->
+      """WITH probes AS (
+        |  SELECT substr(c_name, 1, 9) || 'X' || substr(c_name, 11) AS probe
+        |  FROM customer WHERE c_custkey < 5),
+        |scored AS (
+        |  SELECT probe, c_name, levenshtein(probe, c_name) AS dist
+        |  FROM probes, customer),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe
+        |                               ORDER BY dist, c_name) AS rn
+        |  FROM scored)
+        |SELECT probe, c_name AS best, CAST(dist AS BIGINT) AS dist
+        |FROM rk WHERE rn = 1 ORDER BY probe""".stripMargin,
 
     // the changelog read: net changes between the base snapshot and
     // the post-merge snapshot — DuckDB mirrors it as EXCEPT ALL both
