@@ -55,6 +55,15 @@ object TripleSink {
     * column is added and break incremental-vs-audit equality). */
   private val CoreCols = Seq("subj", "pred", "obj")
 
+  /** Run ids become directory names (`run=<id>`) and raw JSON values
+    * in manifests and refs, so the charset is a table-format contract
+    * — validated at every commit entry point rather than escaped
+    * downstream. */
+  private def validateRunId(runId: String): Unit =
+    require(runId.matches("[A-Za-z0-9._-]+"),
+      s"invalid run_id '$runId': run ids name directories and appear in " +
+        "manifest JSON - use [A-Za-z0-9._-] only")
+
   /** Visibility of one run in a snapshot: `parts = None` means every
     * partition the run wrote; `Some(ps)` restricts to those part_ids
     * (the copy-on-write state [[merge]] leaves behind). */
@@ -106,6 +115,7 @@ object TripleSink {
   private def doWrite(triples: DataFrame, path: String, runId: String,
                       nParts: Int, append: Boolean,
                       opLabel: Option[String]): Unit = {
+    validateRunId(runId)
     val spark = triples.sparkSession
     val all = manifests(path)
     val prior = all.lastOption
@@ -177,6 +187,7 @@ object TripleSink {
     * Updates must match the table's current data schema. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             runId: String): Unit = {
+    validateRunId(runId)
     val all = manifests(path)
     require(all.nonEmpty, s"merge into an empty table under $path")
     require(!all.exists(_.runId == runId),
@@ -192,24 +203,12 @@ object TripleSink {
       .withColumn("part_id", pmod(xxhash64(col("subj")), lit(nParts)).cast("int"))
       .localCheckpoint(true) // consumed twice (affected probe + union) and
                              // must not re-read table dirs this commit rewrites
-    val affected = upd.select("part_id").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted // bounded by nParts
-    // partition pruning: only affected part dirs of each visible run are read
-    val touchedOld = readVisible(spark, path, prior)
-      .filter(col("part_id").isin(affected: _*))
-      .select(schemaCols.map(col): _*)
-    val survivors = touchedOld.join(
-      upd.select(col("subj").as("u_subj"), col("pred").as("u_pred")).distinct(),
-      col("subj") === col("u_subj") && col("pred") === col("u_pred"),
-      "left_anti")
-    val newData = survivors.unionByName(upd.select(schemaCols.map(col): _*))
-      // materialize BEFORE the write: the plan lazily reads the very
-      // partitions whose visibility this commit swaps out
-      .localCheckpoint(true)
-    writeRunData(newData, path, runId, nParts)
-    val newStats = runStats(spark, path, runId)
-
-    publishSwap(path, prior, runId, affected, newStats, "merge")
+    cowRewrite(spark, path, prior, runId, add = upd,
+      removeKeys = upd.select(col("subj").as("u_subj"),
+        col("pred").as("u_pred"), col("part_id")),
+      removeCond = col("subj") === col("u_subj") &&
+        col("pred") === col("u_pred"),
+      op = "merge")
   }
 
   /** Row-level DELTA commit — the MERGE/DELETE pairing an incrementally
@@ -227,6 +226,7 @@ object TripleSink {
     * back out (KgDeltaSpec closes that loop). */
   def applyDelta(spark: SparkSession, path: String, additions: DataFrame,
                  retractions: DataFrame, runId: String): Unit = {
+    validateRunId(runId)
     val all = manifests(path)
     require(all.nonEmpty,
       s"delta into an empty table under $path (bootstrap with write())")
@@ -254,26 +254,44 @@ object TripleSink {
     }
     val add = conform(additions, "additions")
     val del = conform(retractions, "retractions")
-    val affected = add.select("part_id").unionByName(del.select("part_id"))
+    cowRewrite(spark, path, prior, runId, add = add,
+      removeKeys = del.select(
+        schemaCols.map(c => col(c).as(s"r_$c")) :+ col("part_id"): _*),
+      removeCond = schemaCols.map(c => col(c) <=> col(s"r_$c")).reduce(_ && _),
+      op = "delta")
+  }
+
+  /** The shared copy-on-write body of [[merge]] and [[applyDelta]]:
+    * rewrite ONLY the hash partitions carrying an added or removed
+    * row — survivors are the touched partitions' rows that do not
+    * anti-join `removeKeys` on `removeCond`, plus `add` — then publish
+    * the partition swap. Both input frames must be part_id-stamped and
+    * checkpointed (they are consumed while the commit is in flight).
+    * An empty change set publishes a no-op snapshot so
+    * one-commit-per-batch consumers keep their bookkeeping. */
+  private def cowRewrite(spark: SparkSession, path: String, prior: Manifest,
+                         runId: String, add: DataFrame, removeKeys: DataFrame,
+                         removeCond: Column, op: String): Unit = {
+    val schemaCols = prior.schema.map(_._1)
+    val affected = add.select("part_id").unionByName(removeKeys.select("part_id"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nParts
     if (affected.isEmpty) {
       publish(path, prior.copy(seq = prior.seq + 1, runId = runId,
-        operation = "delta", file = null))
+        operation = op, file = null))
       return
     }
     // partition pruning: only affected part dirs of each visible run are read
     val touchedOld = readVisible(spark, path, prior)
       .filter(col("part_id").isin(affected: _*))
       .select(schemaCols.map(col): _*)
-    val cond = schemaCols.map(c => col(c) <=> col(s"r_$c")).reduce(_ && _)
     val survivors = touchedOld.join(
-      del.select(schemaCols.map(c => col(c).as(s"r_$c")): _*).distinct(),
-      cond, "left_anti")
+      removeKeys.drop("part_id").distinct(), removeCond, "left_anti")
     val newData = survivors.unionByName(add.select(schemaCols.map(col): _*))
-      // materialize BEFORE the write (same reason as merge)
+      // materialize BEFORE the write: the plan lazily reads the very
+      // partitions whose visibility this commit swaps out
       .localCheckpoint(true)
-    writeRunData(newData, path, runId, nParts)
-    publishSwap(path, prior, runId, affected, runStats(spark, path, runId), "delta")
+    writeRunData(newData, path, runId, prior.nParts)
+    publishSwap(path, prior, runId, affected, runStats(spark, path, runId), op)
   }
 
   /** Publish a copy-on-write partition-swap commit: `affected`
@@ -397,21 +415,19 @@ object TripleSink {
     // segments: (from → pred(replace_1)], (replace_1 → pred(replace_2)],
     // …, (replace_k → to]. Each replace equals its predecessor in
     // content, so per-segment diffs sum (as signed multisets) to the
-    // endpoint-to-endpoint net change.
+    // endpoint-to-endpoint net change. Segmenting at a replace is a
+    // COST optimization (without it the diff would net out the
+    // rewrite's carried rows at full-table expense) and is only VALID
+    // against the replace's TRUE predecessor — when that predecessor
+    // has been expired (a tag-pinned `from` below aggressively-GC'd
+    // history), the replace simply stops being a boundary: the
+    // enclosing segment's endpoint file-diff is still content-exact,
+    // it just pays the rewrite-sized diff.
     val span = all.filter(m => m.seq > mFrom.seq && m.seq <= mTo.seq)
-    val replaces = span.filter(_.operation == "replace")
+    val replaces = span.filter(r => r.operation == "replace" &&
+      all.takeWhile(_.seq < r.seq).lastOption.exists(_.seq == r.seq - 1))
     val starts = mFrom +: replaces
-    val ends = replaces.map { r =>
-      // content equality (replace == predecessor) only holds for the
-      // TRUE predecessor; retention normally keeps a contiguous suffix,
-      // but a tag-pinned `from` can sit below expired history — refuse
-      // rather than diff against the wrong baseline
-      val pred = all.takeWhile(_.seq < r.seq).last
-      require(pred.seq == r.seq - 1,
-        s"cannot read changes across replace run_id=${r.runId}: its " +
-          s"predecessor snapshot (seq=${r.seq - 1}) has been expired")
-      pred
-    } :+ mTo
+    val ends = replaces.map(r => all.takeWhile(_.seq < r.seq).last) :+ mTo
     val segs = starts.zip(ends).filter { case (a, b) => a.seq < b.seq }
 
     val (insSegs, delSegs) = segs.map { case (a, b) =>
@@ -421,10 +437,14 @@ object TripleSink {
       val added = fb -- fa
       val oldRows = readPairs(removed)
       val newRows = readPairs(added)
-      // pure-append segment: nothing removed → every added row is an
-      // insert, no diff shuffle at all (and symmetrically for drops)
-      val ins = if (removed.isEmpty) newRows else newRows.exceptAll(oldRows)
-      val del = if (added.isEmpty) oldRows else oldRows.exceptAll(newRows)
+      // the diff shuffle runs only when files changed on BOTH sides
+      // (merge/overwrite): a pure-append segment's inserts are exactly
+      // the added files' rows and its delete side is the (empty) old
+      // side as-is — exceptAll against an empty frame would still
+      // union + aggregate every row for nothing
+      val bothSides = removed.nonEmpty && added.nonEmpty
+      val ins = if (bothSides) newRows.exceptAll(oldRows) else newRows
+      val del = if (bothSides) oldRows.exceptAll(newRows) else oldRows
       (ins, del)
     }.unzip
 
@@ -847,15 +867,23 @@ object TripleSink {
     * (schema evolution). `basePath` makes `run` and `part_id` resolve
     * as partitions of the common base; the synthetic `run` directory
     * column is dropped in favor of the `run_id` data column the write
-    * path embeds. */
+    * path embeds. A snapshot with no data — an all-rows-filtered
+    * commit's _SUCCESS-only run dir, or a delta that retracted
+    * everything — reads as an EMPTY frame under the recorded schema,
+    * not an error: an empty table must stay readable and recoverable
+    * (the next append/delta commit refills it). */
   private def readVisible(spark: SparkSession, path: String,
                           m: Manifest): DataFrame = {
-    require(m.visible.nonEmpty, "snapshot with no visible runs")
+    // resolve to concrete part dirs so runs that wrote no data (or
+    // whose dirs hold no parquet) contribute no unreadable paths
     val paths = m.visible.flatMap { rv =>
-      rv.parts match {
-        case None => Seq(s"$path/data/run=${rv.run}")
-        case Some(ps) => ps.map(p => s"$path/data/run=${rv.run}/part_id=$p")
-      }
+      rv.parts.getOrElse(partsOnDisk(path, rv.run))
+        .map(p => s"$path/data/run=${rv.run}/part_id=$p")
+    }
+    if (paths.isEmpty) {
+      val cols = m.schema.map { case (n, t) => lit(null).cast(t).as(n) } :+
+        lit(null).cast("string").as("run_id") :+ lit(null).cast("int").as("part_id")
+      return spark.range(0).select(cols: _*)
     }
     val raw = spark.read
       .option("basePath", s"$path/data")

@@ -236,6 +236,43 @@ class ResumeSpec extends AnyFunSuite {
     assert(applied == toRows, "applying the changelog to `from` must reproduce `to`")
   }
 
+  test("sink empty states: empty commits and an all-retracted table stay readable and recoverable") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-empty").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+
+    // bootstrap with an EMPTY frame: a _SUCCESS-only run dir must read
+    // as an empty table, not a parquet schema-inference error (the
+    // streamed loop's first batch can legitimately yield zero triples)
+    TripleSink.write(frame(), path, "r0", nParts = 4)
+    assert(TripleSink.read(spark, path).count() == 0)
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2")), path, "r1",
+      nParts = 4, append = true)
+    assert(TripleSink.read(spark, path).count() == 2)
+
+    // a delta retracting EVERY row leaves an empty-but-live table:
+    // readable, auditable, changelog-readable, and recoverable through
+    // the normal commit path (not permanently wedged)
+    TripleSink.applyDelta(spark, path, frame(),
+      frame(("a", "p", "1"), ("b", "p", "2")), "d1")
+    assert(TripleSink.read(spark, path).count() == 0)
+    assert(TripleSink.statsAudit(spark, path))
+    assert(TripleSink.changes(spark, path, "r1", "d1")
+      .as[(String, String, String, String)].collect().toSet ==
+      Set(("delete", "a", "p", "1"), ("delete", "b", "p", "2")))
+    TripleSink.applyDelta(spark, path, frame(("c", "p", "3")), frame(), "d2")
+    assert(TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().toSet == Set(("c", "p", "3")))
+    assert(TripleSink.changes(spark, path, "d1", "d2")
+      .as[(String, String, String, String)].collect().toSet ==
+      Set(("insert", "c", "p", "3")))
+    // run ids are a path/JSON contract — reject the unsafe ones loudly
+    intercept[IllegalArgumentException] {
+      TripleSink.write(frame(("x", "p", "1")), path, "bad/run\"id", nParts = 4)
+    }
+  }
+
   test("sink tags: a tagged snapshot survives aggressive retention; dropping the tag releases it") {
     import graft.sources.TripleSink
     val path = Files.createTempDirectory("graft-sink-tags").toString
@@ -265,13 +302,15 @@ class ResumeSpec extends AnyFunSuite {
     assert(TripleSink.changes(spark, path, "r1", "r3")
       .as[(String, String, String, String)].collect().toSet ==
       Set(("insert", "c", "p", "3"), ("delete", "a", "p", "1")))
-    // …but a replace whose true predecessor was expired is refused
-    // rather than diffed against the wrong baseline
+    // …and a replace whose true predecessor was expired stops being a
+    // segment boundary: the endpoint diff nets the rewrite's carried
+    // rows at full cost instead of refusing — the tag-pinned audit
+    // read this exists for keeps working
     TripleSink.compact(spark, path, "c1", nParts = 2)
     TripleSink.expireSnapshots(path, keepLast = 1) // r3 expires; r1 stays pinned
-    intercept[IllegalArgumentException] {
-      TripleSink.changes(spark, path, "r1", "c1")
-    }
+    assert(TripleSink.changes(spark, path, "r1", "c1")
+      .as[(String, String, String, String)].collect().toSet ==
+      Set(("insert", "c", "p", "3"), ("delete", "a", "p", "1")))
 
     // dropping the tag releases the snapshot to the next GC
     assert(TripleSink.dropTag(path, "model-v1"))
