@@ -69,12 +69,22 @@ object TripleSink {
     * (the copy-on-write state [[merge]] leaves behind). */
   final case class RunVis(run: String, parts: Option[Seq[Int]])
   final case class PartStat(partId: Int, rows: Long, h: Long)
+
+  /** One merge-on-read EQUALITY-DELETE file set ([[applyDeltaMOR]]):
+    * full retraction rows stored under `_deletes/run=<run>`, applying
+    * to visible rows whose run_id is in `scope` — the data runs
+    * visible when the delete committed, so rows re-added later are
+    * untouched (Iceberg v2 scopes equality deletes by sequence number
+    * for the same reason). */
+  final case class DeleteVis(run: String, scope: Seq[String])
+
   final case class Manifest(seq: Int, runId: String, operation: String,
                             snapshotId: Long, nParts: Int,
                             visible: Seq[RunVis],
                             schema: Seq[(String, String)],
                             partitions: Seq[PartStat],
-                            file: Path) {
+                            file: Path,
+                            deletes: Seq[DeleteVis] = Nil) {
     def visibleRunNames: Seq[String] = visible.map(_.run)
     def totalRows: Long = partitions.map(_.rows).sum
   }
@@ -152,14 +162,18 @@ object TripleSink {
     val base = if (isRetry) all.reverse.find(!_.visibleRunNames.contains(runId))
                else prior
     val effAppend = if (isRetry) retryOf.get.operation == "append" else append
-    val (visible, partStats, schema) =
+    // an append extends the base snapshot, so its active delete files
+    // carry over; an overwrite/replace starts from its own data alone
+    val (visible, partStats, schema, deletes) =
       if (!effAppend || base.isEmpty) {
-        (Seq(RunVis(runId, None)), newStats, schemaOf(triples, dataCols))
+        (Seq(RunVis(runId, None)), newStats, schemaOf(triples, dataCols),
+          Seq.empty[DeleteVis])
       } else {
         val b = base.get
         (b.visible :+ RunVis(runId, None),
           mergeStats(b.partitions, newStats),
-          unionSchema(b.schema, schemaOf(triples, dataCols)))
+          unionSchema(b.schema, schemaOf(triples, dataCols)),
+          b.deletes)
       }
     publish(path, Manifest(
       seq = prior.map(_.seq + 1).getOrElse(0),
@@ -169,7 +183,7 @@ object TripleSink {
       snapshotId = partStats.foldLeft(0L)(_ ^ _.h),
       nParts = nParts,
       visible = visible, schema = schema, partitions = partStats,
-      file = null))
+      file = null, deletes = deletes))
   }
 
   /** MERGE INTO-style keyed upsert (Iceberg's copy-on-write row-level
@@ -261,6 +275,75 @@ object TripleSink {
       op = "delta")
   }
 
+  /** Row-level delta commit, MERGE-ON-READ form (Iceberg v2 equality
+    * deletes): `retractions` are written as a small DELETE FILE under
+    * `_deletes/run=<runId>` — scoped to the data runs visible at this
+    * commit, so later re-adds are untouched — and `additions` append
+    * as a normal run; NO existing partition is rewritten. Readers
+    * anti-join active delete files at scan time (cost proportional to
+    * the outstanding delete volume, reclaimed by the next [[compact]],
+    * which materializes the deletes away and clears the list). This is
+    * the escape hatch for [[applyDelta]]'s measured worst case: a
+    * retraction set scattered uniformly over subjects dirties every
+    * hash partition under copy-on-write (CdcBench `merge_scattered`),
+    * but commits here at O(batch) regardless of spread. Trade: COW
+    * pays at write time and reads clean; MOR pays at read time until
+    * compaction — the same dial Iceberg exposes.
+    *
+    * Contract (same set semantics as [[applyDelta]], plus): each
+    * retraction row must match a currently-visible row exactly once —
+    * that is what lets per-partition stats update by subtraction
+    * (rows subtract, hashes xor out) without scanning the table;
+    * [[statsAudit]] verifies and a violation fails it loudly. */
+  def applyDeltaMOR(spark: SparkSession, path: String, additions: DataFrame,
+                    retractions: DataFrame, runId: String): Unit = {
+    validateRunId(runId)
+    val all = manifests(path)
+    require(all.nonEmpty,
+      s"delta into an empty table under $path (bootstrap with write())")
+    val retry = all.find(_.runId == runId)
+    if (retry.isDefined) {
+      require(all.last.runId == runId && retry.get.operation == "delta-mor",
+        s"run_id=$runId already committed at seq=${retry.get.seq} as " +
+          s"${retry.get.operation} - only the LATEST delta-mor commit is retryable")
+      return
+    }
+    val prior = all.last
+    val nParts = prior.nParts
+    val schemaCols = prior.schema.map(_._1)
+    def conform(df: DataFrame, what: String): DataFrame = {
+      require(df.columns.toSet == schemaCols.toSet,
+        s"$what schema ${df.columns.sorted.mkString(",")} must equal the " +
+          s"table schema ${schemaCols.sorted.mkString(",")}")
+      df.select(schemaCols.map(col): _*)
+        .withColumn("part_id", pmod(xxhash64(col("subj")), lit(nParts)).cast("int"))
+        .localCheckpoint(true)
+    }
+    val add = conform(additions, "additions")
+    val del = conform(retractions, "retractions")
+    val delStats = computeStats(del)
+    if (delStats.nonEmpty)
+      del.drop("part_id").write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/_deletes/run=$runId")
+    writeRunData(add, path, runId, nParts)
+    val addStats = runStats(spark, path, runId)
+    if (addStats.isEmpty && delStats.isEmpty) {
+      publish(path, prior.copy(seq = prior.seq + 1, runId = runId,
+        operation = "delta-mor", file = null))
+      return
+    }
+    val partStats = subtractStats(mergeStats(prior.partitions, addStats), delStats)
+    publish(path, Manifest(
+      seq = prior.seq + 1, runId = runId, operation = "delta-mor",
+      snapshotId = partStats.foldLeft(0L)(_ ^ _.h),
+      nParts = nParts,
+      visible = prior.visible :+ RunVis(runId, None),
+      schema = prior.schema, partitions = partStats, file = null,
+      deletes =
+        if (delStats.isEmpty) prior.deletes
+        else prior.deletes :+ DeleteVis(runId, prior.visibleRunNames.distinct)))
+  }
+
   /** The shared copy-on-write body of [[merge]] and [[applyDelta]]:
     * rewrite ONLY the hash partitions carrying an added or removed
     * row — survivors are the touched partitions' rows that do not
@@ -317,7 +400,12 @@ object TripleSink {
       seq = prior.seq + 1, runId = runId, operation = op,
       snapshotId = partStats.foldLeft(0L)(_ ^ _.h),
       nParts = prior.nParts,
-      visible = vis, schema = prior.schema, partitions = partStats, file = null))
+      visible = vis, schema = prior.schema, partitions = partStats,
+      file = null,
+      // active delete files carry through a partition swap: they still
+      // apply to the untouched partitions' rows (the swapped-out rows
+      // they referenced are simply no longer visible to match)
+      deletes = prior.deletes))
   }
 
   /** The table as of its LATEST snapshot. */
@@ -430,6 +518,43 @@ object TripleSink {
     val ends = replaces.map(r => all.takeWhile(_.seq < r.seq).last) :+ mTo
     val segs = starts.zip(ends).filter { case (a, b) => a.seq < b.seq }
 
+    // merge-on-read adjustment: content(m) = raw file rows − rows its
+    // delete files match, so a segment's net change is
+    // [R(b) − R(a)] + D(a) − D(b): the endpoint delete-matched sets
+    // fold into the insert (a) and delete (b) sides and the final
+    // cancellation nets them. When both endpoints carry the same
+    // delete state over the same scoped visibility, D(a) == D(b) and
+    // the terms are skipped without being computed.
+    def scopedPairs(m: Manifest): Set[(String, Int)] = {
+      val scoped = m.deletes.flatMap(_.scope).toSet
+      fileSet(m).filter(p => scoped(p._1))
+    }
+    def deleteMatched(m: Manifest): Option[DataFrame] =
+      deleteRows(spark, path, m) match {
+        case None => None
+        case Some(dels) =>
+          val pairs = scopedPairs(m)
+          if (pairs.isEmpty) None
+          else {
+            val raw = spark.read.option("basePath", s"$path/data")
+              .option("mergeSchema", "true")
+              .parquet(pairs.toSeq.sorted.map { case (r, p) =>
+                s"$path/data/run=$r/part_id=$p" }: _*)
+              .drop("run")
+            val present = raw.columns.toSet
+            val filled = m.schema.foldLeft(raw) { case (df, (n, t)) =>
+              if (present(n)) df else df.withColumn(n, lit(null).cast(t)) }
+            val cond = m.schema.map { case (n, _) => col(n) <=> col(s"del_$n") }
+              .reduce(_ && _) && array_contains(col("del_scope"), col("run_id"))
+            val matched = filled.join(broadcast(dels), cond, "left_semi")
+            val presentM = matched.columns.toSet
+            val out = cols.foldLeft(matched) { case (df, (n, t)) =>
+              if (presentM(n)) df else df.withColumn(n, lit(null).cast(t)) }
+            Some(out.select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*))
+          }
+      }
+
+    var deleteTerms = false
     val (insSegs, delSegs) = segs.map { case (a, b) =>
       val fa = fileSet(a)
       val fb = fileSet(b)
@@ -445,7 +570,12 @@ object TripleSink {
       val bothSides = removed.nonEmpty && added.nonEmpty
       val ins = if (bothSides) newRows.exceptAll(oldRows) else newRows
       val del = if (bothSides) oldRows.exceptAll(newRows) else oldRows
-      (ins, del)
+      if (a.deletes == b.deletes && scopedPairs(a) == scopedPairs(b)) (ins, del)
+      else {
+        deleteTerms = true
+        (deleteMatched(a).map(ins.unionByName(_)).getOrElse(ins),
+          deleteMatched(b).map(del.unionByName(_)).getOrElse(del))
+      }
     }.unzip
 
     val (insNet, delNet) =
@@ -454,8 +584,9 @@ object TripleSink {
         val insAll = insSegs.reduce(_ unionByName _)
         val delAll = delSegs.reduce(_ unionByName _)
         // within one segment ins/del are disjoint by construction;
-        // across segments a row can flip-flop — cancel it
-        if (segs.size == 1) (insAll, delAll)
+        // across segments a row can flip-flop, and MOR delete terms
+        // overlap the file diff by design — cancel
+        if (segs.size == 1 && !deleteTerms) (insAll, delAll)
         else (insAll.exceptAll(delAll), delAll.exceptAll(insAll))
       }
 
@@ -566,9 +697,15 @@ object TripleSink {
       .filterNot(live)
       .map(r => root(path).resolve("data").resolve(s"run=$r"))
       .filter(Files.isDirectory(_))
+    // equality-delete files referenced only by expired manifests go too
+    val liveDel = keep.flatMap(_.deletes.map(_.run)).toSet
+    val deadDel = expire.flatMap(_.deletes.map(_.run)).distinct
+      .filterNot(liveDel)
+      .map(r => root(path).resolve("_deletes").resolve(s"run=$r"))
+      .filter(Files.isDirectory(_))
     expire.foreach(m => Files.delete(m.file))
-    dead.foreach(deleteRecursively)
-    (expire.size, dead.size)
+    (dead ++ deadDel).foreach(deleteRecursively)
+    (expire.size, dead.size + deadDel.size)
   }
 
   /** Metadata table 1 of 3 — the snapshot log as a DataFrame
@@ -620,6 +757,30 @@ object TripleSink {
     rows.toDF("run_id", "part_id", "file", "bytes")
   }
 
+  /** Metadata table 4 of 4 — the LATEST snapshot's active equality-
+    * delete files (Iceberg's `table$delete_files`): one row per file
+    * with the delete run, its scope size, and bytes. [[filesDf]] lists
+    * DATA files only, so a snapshot's raw file rows equal its content
+    * exactly when this table is empty — [[compact]] is what empties
+    * it. */
+  def deleteFilesDf(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val m = manifests(path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $path"))
+    val rows = m.deletes.flatMap { d =>
+      val dir = root(path).resolve("_deletes").resolve(s"run=${d.run}")
+      if (!Files.isDirectory(dir)) Nil
+      else scala.util.Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .map(f => (d.run, d.scope.size, f.toString, Files.size(f)))
+          .toList
+      }
+    }
+    rows.toDF("delete_run", "scoped_runs", "file", "bytes")
+  }
+
   /** Table maintenance 3 of 3 — orphan reclamation (Iceberg's
     * `removeOrphanFiles`): delete run directories that NO committed
     * manifest references — the debris of commits that crashed between
@@ -633,20 +794,23 @@ object TripleSink {
     * from a periodic maintenance job. Returns deleted run names. */
   def removeOrphans(path: String, olderThanMs: Long): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val referenced = manifests(path).flatMap(_.visibleRunNames).toSet
-    val dataDir = root(path).resolve("data")
-    if (!Files.isDirectory(dataDir)) return Nil
+    val all = manifests(path)
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val dead = scala.util.Using.resource(Files.list(dataDir)) { s =>
-      s.iterator().asScala.filter { p =>
-        val name = p.getFileName.toString
-        name.startsWith("run=") &&
-          !referenced.contains(name.stripPrefix("run=")) &&
-          newestMtime(p) < cutoff
-      }.toList
+    def sweep(dir: Path, referenced: Set[String]): Seq[String] = {
+      if (!Files.isDirectory(dir)) return Nil
+      val dead = scala.util.Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala.filter { p =>
+          val name = p.getFileName.toString
+          name.startsWith("run=") &&
+            !referenced.contains(name.stripPrefix("run=")) &&
+            newestMtime(p) < cutoff
+        }.toList
+      }
+      dead.foreach(deleteRecursively)
+      dead.map(_.getFileName.toString.stripPrefix("run="))
     }
-    dead.foreach(deleteRecursively)
-    dead.map(_.getFileName.toString.stripPrefix("run="))
+    sweep(root(path).resolve("data"), all.flatMap(_.visibleRunNames).toSet) ++
+      sweep(root(path).resolve("_deletes"), all.flatMap(_.deletes.map(_.run)).toSet)
   }
 
   /** Newest last-modified time under a directory tree — the age signal
@@ -708,6 +872,21 @@ object TripleSink {
       .map(r => PartStat(r.getInt(0), r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
       .toSeq
+
+  /** Remove per-partition stats from a base snapshot's: rows subtract
+    * and hashes xor OUT (xor is its own inverse) — exact under the
+    * MOR contract that each removed row matched one visible row. A
+    * partition netting to (0 rows, 0 hash) drops from the stats, as a
+    * full recompute would omit it; 0 rows with a nonzero hash is a
+    * contract violation kept visible for [[statsAudit]] to flag. */
+  private def subtractStats(base: Seq[PartStat], sub: Seq[PartStat]): Seq[PartStat] = {
+    val m = scala.collection.mutable.LinkedHashMap.from(base.map(p => p.partId -> p))
+    sub.foreach { p =>
+      val prev = m.getOrElse(p.partId, PartStat(p.partId, 0L, 0L))
+      m.update(p.partId, PartStat(p.partId, prev.rows - p.rows, prev.h ^ p.h))
+    }
+    m.values.filterNot(p => p.rows == 0L && p.h == 0L).toSeq.sortBy(_.partId)
+  }
 
   /** Fold new per-partition stats into a base snapshot's: rows add,
     * hashes xor — both mergeable, which is the whole trick that makes
@@ -775,10 +954,14 @@ object TripleSink {
     val parts = m.partitions.map(p =>
       s"""{"part_id":${p.partId},"rows":${p.rows},"h":${p.h}}""")
       .mkString("[", ",", "]")
+    val dels = m.deletes.map { d =>
+      val scope = d.scope.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"run":"${d.run}","scope":$scope}"""
+    }.mkString("[", ",", "]")
     s"""{"format":"graft-iceberg-emulation/3","table":"triples","seq":${m.seq},""" +
       s""""run_id":"${m.runId}","operation":"${m.operation}",""" +
       s""""snapshot_id":${m.snapshotId},"n_parts":${m.nParts},""" +
-      s""""visible":$vis,"schema":$schema,"partitions":$parts}"""
+      s""""visible":$vis,"schema":$schema,"partitions":$parts,"deletes":$dels}"""
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -832,7 +1015,13 @@ object TripleSink {
       partitions = n.get("partitions").elements().asScala
         .map(p => PartStat(p.get("part_id").asInt(), p.get("rows").asLong(),
           if (p.has("h")) p.get("h").asLong() else 0L)).toSeq,
-      file = file)
+      file = file,
+      deletes =
+        if (!n.has("deletes")) Nil
+        else n.get("deletes").elements().asScala.map { d =>
+          DeleteVis(d.get("run").asText(),
+            d.get("scope").elements().asScala.map(_.asText()).toSeq)
+        }.toSeq)
   }
 
   /** part_ids a run directory holds on disk (manifest-less resolution
@@ -896,6 +1085,32 @@ object TripleSink {
     }
     val cols: Seq[Column] =
       m.schema.map(f => col(f._1)) :+ col("run_id") :+ col("part_id")
-    withAll.select(cols: _*)
+    val visibleRows = withAll.select(cols: _*)
+    // merge-on-read: anti-join active equality-delete files, each
+    // scoped to the runs visible when it committed. The delete side
+    // broadcasts — it is the small outstanding-deletes set, reclaimed
+    // by the next compact(); the table side never shuffles for this.
+    deleteRows(spark, path, m) match {
+      case None => visibleRows
+      case Some(dels) =>
+        val cond = m.schema.map { case (n, _) => col(n) <=> col(s"del_$n") }
+          .reduce(_ && _) && array_contains(col("del_scope"), col("run_id"))
+        visibleRows.join(broadcast(dels), cond, "left_anti")
+    }
   }
+
+  /** Rows of a snapshot's delete files under `del_`-prefixed names,
+    * conformed to the snapshot's schema, each carrying its scope. */
+  private def deleteRows(spark: SparkSession, path: String,
+                         m: Manifest): Option[DataFrame] =
+    if (m.deletes.isEmpty) None
+    else Some(m.deletes.map { d =>
+      val raw = spark.read.parquet(s"$path/_deletes/run=${d.run}")
+      val present = raw.columns.toSet
+      val filled = m.schema.foldLeft(raw) { case (df, (n, t)) =>
+        if (present(n)) df else df.withColumn(n, lit(null).cast(t)) }
+      filled.select(m.schema.map { case (n, t) =>
+        col(n).cast(t).as(s"del_$n") } :+
+        typedlit(d.scope).as("del_scope"): _*)
+    }.reduce(_ unionByName _))
 }

@@ -65,14 +65,17 @@ object CdcBench {
       TripleSink.changes(spark, path, "b000", f"b${nAppends - 1}%03d"))
 
     // keyed merge touching ~1% of subjects SPREAD UNIFORMLY: hash-COW's
-    // worst case — every partition is dirtied, so the changelog diffs
-    // the whole rewritten table to net out the 5k real changes. This
-    // is intrinsic to partition-granular copy-on-write (Iceberg COW
-    // shares it; merge-on-read delete files are the escape hatch), and
-    // the honest number belongs next to the good cases.
+    // worst case — every partition is dirtied, so the commit rewrites
+    // the whole table and the changelog diffs it to net out the 5k
+    // real changes. This is intrinsic to partition-granular
+    // copy-on-write (Iceberg COW shares it), and the honest number
+    // belongs next to the good cases. The MOR case below is the
+    // engine's actual answer to this shape.
     val upd = batch(0).filter(pmod(xxhash64(col("subj")), lit(100)) === 0)
       .withColumn("obj", lit("rewritten"))
+    val tCow = System.nanoTime()
     TripleSink.merge(spark, path, upd, "m1")
+    val cowCommitSec = (System.nanoTime() - tCow) / 1e9
     val (mergeSec, mergeRows) = timeCount(
       TripleSink.changes(spark, path, f"b${nAppends - 1}%03d", "m1"))
 
@@ -88,8 +91,20 @@ object CdcBench {
     val (localSec, localRows) = timeCount(
       TripleSink.changes(spark, path, "m1", "m2"))
 
+    // the SAME scattered-1% retraction volume, committed merge-on-read:
+    // a delete file + stats subtraction, no partition rewrite — commit
+    // cost is O(batch) however the keys spread. The changelog across it
+    // pays the scoped semi-join (read-side cost until the next compact,
+    // the COW/MOR dial).
+    val morDel = batch(1).filter(pmod(xxhash64(col("subj")), lit(100)) === 7)
+    val tMor = System.nanoTime()
+    TripleSink.applyDeltaMOR(spark, path, batch(1).limit(0), morDel, "mor1")
+    val morCommitSec = (System.nanoTime() - tMor) / 1e9
+    val (morChgSec, morChgRows) = timeCount(
+      TripleSink.changes(spark, path, "m2", "mor1"))
+
     val table = TripleSink.read(spark, path).count()
-    println(f"""{"bench":"cdc_changes_cost","n_appends":$nAppends,"rows_per_batch":$rowsPerBatch,"table_rows":$table,"tail_sec":$tailSec%.3f,"tail_rows":$tailRows,"full_sec":$fullSec%.3f,"full_rows":$fullRows,"merge_scattered_sec":$mergeSec%.3f,"merge_scattered_rows":$mergeRows,"merge_local_sec":$localSec%.3f,"merge_local_rows":$localRows,"full_over_tail":${fullSec / tailSec}%.2f}""")
+    println(f"""{"bench":"cdc_changes_cost","n_appends":$nAppends,"rows_per_batch":$rowsPerBatch,"table_rows":$table,"tail_sec":$tailSec%.3f,"tail_rows":$tailRows,"full_sec":$fullSec%.3f,"full_rows":$fullRows,"cow_scattered_commit_sec":$cowCommitSec%.3f,"merge_scattered_sec":$mergeSec%.3f,"merge_scattered_rows":$mergeRows,"merge_local_sec":$localSec%.3f,"merge_local_rows":$localRows,"mor_scattered_commit_sec":$morCommitSec%.3f,"mor_changes_sec":$morChgSec%.3f,"mor_changes_rows":$morChgRows,"full_over_tail":${fullSec / tailSec}%.2f}""")
     spark.stop()
   }
 }

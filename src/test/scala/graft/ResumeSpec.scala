@@ -273,6 +273,74 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("sink merge-on-read deltas: delete files apply at read time; compaction materializes them away") {
+    import graft.sources.TripleSink
+    import java.nio.file.{Files => F, Paths => P}
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft-sink-mor").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+    def readSet = TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    def chg(from: String, to: String) = TripleSink.changes(spark, path, from, to)
+      .as[(String, String, String, String)].collect().toSet
+    def runFiles(run: String): Set[(String, Long)] = {
+      val dir = P.get(s"$path/data/run=$run")
+      scala.util.Using.resource(F.walk(dir)) { s =>
+        s.iterator().asScala.filter(F.isRegularFile(_))
+          .map(f => (dir.relativize(f).toString, F.size(f))).toSet
+      }
+    }
+
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")),
+      path, "r1", nParts = 4)
+    val r1Files = runFiles("r1")
+
+    // MOR delta: retract a+b (scattered over partitions), add d — the
+    // whole point is that NO existing partition rewrites: r1's files
+    // must stay byte-for-byte in place, with a delete file alongside
+    TripleSink.applyDeltaMOR(spark, path, frame(("d", "p", "4")),
+      frame(("a", "p", "1"), ("b", "p", "2")), "m1")
+    assert(readSet == Set(("c", "p", "3"), ("d", "p", "4")))
+    assert(runFiles("r1") == r1Files, "MOR commit rewrote existing data files")
+    assert(F.isDirectory(P.get(s"$path/_deletes/run=m1")))
+    assert(TripleSink.deleteFilesDf(spark, path)
+      .select("delete_run").as[String].collect().toSet == Set("m1"))
+    assert(TripleSink.statsAudit(spark, path),
+      "subtracted stats diverged from a full recompute")
+    // time travel: the pre-delete snapshot still shows a and b
+    assert(TripleSink.readAsOf(spark, path, "r1")
+      .select("subj").as[String].collect().toSet == Set("a", "b", "c"))
+    // changelog across the MOR commit
+    assert(chg("r1", "m1") == Set(("insert", "d", "p", "4"),
+      ("delete", "a", "p", "1"), ("delete", "b", "p", "2")))
+
+    // re-appending the EXACT deleted row: the delete file is scoped to
+    // the runs visible at its commit, so the new copy is untouched
+    TripleSink.write(frame(("a", "p", "1")), path, "r2", nParts = 4, append = true)
+    assert(readSet == Set(("a", "p", "1"), ("c", "p", "3"), ("d", "p", "4")))
+    assert(TripleSink.statsAudit(spark, path))
+    assert(chg("m1", "r2") == Set(("insert", "a", "p", "1")),
+      "delete-state-equal span must reduce to the plain append diff")
+    assert(chg("r1", "r2") == Set(("insert", "d", "p", "4"),
+      ("delete", "b", "p", "2")),
+      "a row deleted then re-added identically must net out of the span")
+
+    // a COW merge over a table with active delete files composes
+    TripleSink.merge(spark, path, frame(("c", "p", "3x")), "g1")
+    assert(readSet == Set(("a", "p", "1"), ("c", "p", "3x"), ("d", "p", "4")))
+    assert(TripleSink.statsAudit(spark, path))
+
+    // compaction materializes the deletes away; once the delete-bearing
+    // manifests expire, the delete file itself is reclaimed
+    TripleSink.compact(spark, path, "c1", nParts = 2)
+    assert(readSet == Set(("a", "p", "1"), ("c", "p", "3x"), ("d", "p", "4")))
+    TripleSink.expireSnapshots(path, keepLast = 1)
+    assert(!F.isDirectory(P.get(s"$path/_deletes/run=m1")),
+      "expired delete file was not reclaimed")
+    assert(readSet == Set(("a", "p", "1"), ("c", "p", "3x"), ("d", "p", "4")))
+    assert(TripleSink.statsAudit(spark, path))
+  }
+
   test("sink tags: a tagged snapshot survives aggressive retention; dropping the tag releases it") {
     import graft.sources.TripleSink
     val path = Files.createTempDirectory("graft-sink-tags").toString

@@ -18,7 +18,7 @@ class SinkModelSpec extends AnyFunSuite {
   private def readSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
     df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
 
-  test("random append/overwrite/merge/delta/compact sequence matches the model; history time-travels") {
+  test("random append/overwrite/merge/delta/MOR-delta/compact sequence matches the model; history time-travels") {
     val rnd = new scala.util.Random(1234)
     val path = Files.createTempDirectory("graft-sink-model").toString
     val preds = Seq("p0", "p1", "p2")
@@ -35,9 +35,9 @@ class SinkModelSpec extends AnyFunSuite {
     def commitId(kind: String): String = { seq += 1; s"$kind-$seq" }
 
     // first commit must be an overwrite (merge/delta need a table)
-    val ops = "ov" +: Seq.fill(20)(rnd.nextInt(5) match {
+    val ops = "ov" +: Seq.fill(22)(rnd.nextInt(6) match {
       case 0 => "ap"; case 1 => "ov"; case 2 => "mg"; case 3 => "dl"
-      case _ => "cp"
+      case 4 => "mr"; case _ => "cp"
     })
     ops.foreach { op =>
       val id = commitId(op)
@@ -68,6 +68,16 @@ class SinkModelSpec extends AnyFunSuite {
             adds.toSeq.toDF("subj", "pred", "obj"),
             dels.toSeq.toDF("subj", "pred", "obj"), id)
           model = model -- dels ++ adds
+        case "mr" =>
+          // merge-on-read delta: same visible semantics as "dl", but
+          // committed as a delete file + append — no partition rewrite
+          val adds = randRows(rnd.nextInt(10)) -- model
+          val dels = rnd.shuffle(model.toSeq)
+            .take(rnd.nextInt(1 + model.size / 3)).toSet
+          TripleSink.applyDeltaMOR(spark, path,
+            adds.toSeq.toDF("subj", "pred", "obj"),
+            dels.toSeq.toDF("subj", "pred", "obj"), id)
+          model = model -- dels ++ adds
         case "cp" =>
           curParts = 2 + rnd.nextInt(4)
           TripleSink.compact(spark, path, id, nParts = curParts)
@@ -89,6 +99,16 @@ class SinkModelSpec extends AnyFunSuite {
       assert(readSet(chg.filter(chg("_change_type") === "delete")) == cmodel -- model,
         s"changelog deletes $cid -> $id diverged from model diff")
     }
+
+    // materialize any outstanding MOR deletes first: the files table
+    // lists DATA files (Iceberg's $data_files semantics), so raw file
+    // rows equal the snapshot's content only once deleteFilesDf is
+    // empty — which is exactly what compact() guarantees
+    val fid = commitId("cp")
+    TripleSink.compact(spark, path, fid, nParts = curParts)
+    history :+= (fid, model)
+    assert(TripleSink.deleteFilesDf(spark, path).count() == 0,
+      "compaction left active delete files")
 
     // metadata tables agree with the model and the filesystem
     assert(TripleSink.snapshotsDf(spark, path).count() == history.size.toLong)
