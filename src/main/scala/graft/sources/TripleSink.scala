@@ -135,9 +135,10 @@ object TripleSink {
         s"run_id=$runId already committed at seq=${orig.seq} and is not the " +
           "latest snapshot - re-committing it would rewrite readAsOf history " +
           "(idempotent retry is only defined for the latest snapshot)")
-      require(orig.operation != "merge" && orig.operation != "delta",
-        s"run_id=$runId was a ${orig.operation} commit; partition-swap " +
-          "commits are not retryable via write()")
+      require(orig.operation == "append" || orig.operation == "overwrite" ||
+          orig.operation == "replace",
+        s"run_id=$runId was a ${orig.operation} commit; row-level commits " +
+          "are not retryable via write() - retry through their own entry point")
       require(orig.nParts == nParts,
         s"retry of run_id=$runId must reuse its nParts=${orig.nParts}, got $nParts")
     }
@@ -258,16 +259,11 @@ object TripleSink {
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
-    def conform(df: DataFrame, what: String): DataFrame = {
-      require(df.columns.toSet == schemaCols.toSet,
-        s"$what schema ${df.columns.sorted.mkString(",")} must equal the " +
-          s"table schema ${schemaCols.sorted.mkString(",")}")
-      df.select(schemaCols.map(col): _*)
-        .withColumn("part_id", pmod(xxhash64(col("subj")), lit(nParts)).cast("int"))
-        .localCheckpoint(true) // must not lazily re-read dirs this commit swaps out
-    }
-    val add = conform(additions, "additions")
-    val del = conform(retractions, "retractions")
+    // must not lazily re-read dirs this commit swaps out
+    val add = stampPart(conformDelta(additions, schemaCols, "additions"), nParts)
+      .localCheckpoint(true)
+    val del = stampPart(conformDelta(retractions, schemaCols, "retractions"), nParts)
+      .localCheckpoint(true)
     cowRewrite(spark, path, prior, runId, add = add,
       removeKeys = del.select(
         schemaCols.map(c => col(c).as(s"r_$c")) :+ col("part_id"): _*),
@@ -311,16 +307,16 @@ object TripleSink {
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
-    def conform(df: DataFrame, what: String): DataFrame = {
-      require(df.columns.toSet == schemaCols.toSet,
-        s"$what schema ${df.columns.sorted.mkString(",")} must equal the " +
-          s"table schema ${schemaCols.sorted.mkString(",")}")
-      df.select(schemaCols.map(col): _*)
-        .withColumn("part_id", pmod(xxhash64(col("subj")), lit(nParts)).cast("int"))
-        .localCheckpoint(true)
-    }
-    val add = conform(additions, "additions")
-    val del = conform(retractions, "retractions")
+    // additions are consumed once (writeRunData re-derives part_id and
+    // MOR never rewrites a visible directory), so no stamp/checkpoint;
+    // retractions dedup to SET semantics — stats update by subtraction,
+    // so a row listed twice would permanently skew rows/hashes while
+    // the read-side anti-join removes each visible copy exactly once —
+    // and checkpoint because they are consumed twice (stats + file)
+    val add = conformDelta(additions, schemaCols, "additions")
+    val del = stampPart(
+      conformDelta(retractions, schemaCols, "retractions").dropDuplicates(),
+      nParts).localCheckpoint(true)
     val delStats = computeStats(del)
     if (delStats.nonEmpty)
       del.drop("part_id").write.mode(SaveMode.Overwrite)
@@ -525,15 +521,16 @@ object TripleSink {
     // cancellation nets them. When both endpoints carry the same
     // delete state over the same scoped visibility, D(a) == D(b) and
     // the terms are skipped without being computed.
-    def scopedPairs(m: Manifest): Set[(String, Int)] = {
+    // fs = the endpoint's already-computed fileSet (avoids re-listing
+    // part dirs once per use on long-visibility tables)
+    def scopedPairs(m: Manifest, fs: Set[(String, Int)]): Set[(String, Int)] = {
       val scoped = m.deletes.flatMap(_.scope).toSet
-      fileSet(m).filter(p => scoped(p._1))
+      fs.filter(p => scoped(p._1))
     }
-    def deleteMatched(m: Manifest): Option[DataFrame] =
+    def deleteMatched(m: Manifest, pairs: Set[(String, Int)]): Option[DataFrame] =
       deleteRows(spark, path, m) match {
         case None => None
         case Some(dels) =>
-          val pairs = scopedPairs(m)
           if (pairs.isEmpty) None
           else {
             val raw = spark.read.option("basePath", s"$path/data")
@@ -570,11 +567,13 @@ object TripleSink {
       val bothSides = removed.nonEmpty && added.nonEmpty
       val ins = if (bothSides) newRows.exceptAll(oldRows) else newRows
       val del = if (bothSides) oldRows.exceptAll(newRows) else oldRows
-      if (a.deletes == b.deletes && scopedPairs(a) == scopedPairs(b)) (ins, del)
+      val spA = scopedPairs(a, fa)
+      val spB = scopedPairs(b, fb)
+      if (a.deletes == b.deletes && spA == spB) (ins, del)
       else {
         deleteTerms = true
-        (deleteMatched(a).map(ins.unionByName(_)).getOrElse(ins),
-          deleteMatched(b).map(del.unionByName(_)).getOrElse(del))
+        (deleteMatched(a, spA).map(ins.unionByName(_)).getOrElse(ins),
+          deleteMatched(b, spB).map(del.unionByName(_)).getOrElse(del))
       }
     }.unzip
 
@@ -708,7 +707,7 @@ object TripleSink {
     (expire.size, dead.size + deadDel.size)
   }
 
-  /** Metadata table 1 of 3 — the snapshot log as a DataFrame
+  /** Metadata table 1 of 4 — the snapshot log as a DataFrame
     * (Iceberg's `table$snapshots`): one row per committed manifest,
     * served from manifest metadata alone (no data scan). */
   def snapshotsDf(spark: SparkSession, path: String): DataFrame = {
@@ -719,7 +718,7 @@ object TripleSink {
         "total_rows", "visible_runs")
   }
 
-  /** Metadata table 2 of 3 — per-partition stats of the LATEST snapshot
+  /** Metadata table 2 of 4 — per-partition stats of the LATEST snapshot
     * (Iceberg's `table$partitions`): rows and content hash straight
     * from the manifest, which the incremental commit path keeps exact
     * ([[statsAudit]]). */
@@ -731,7 +730,7 @@ object TripleSink {
       .toDF("part_id", "rows", "content_hash")
   }
 
-  /** Metadata table 3 of 3 — the data files of the LATEST snapshot
+  /** Metadata table 3 of 4 — the data files of the LATEST snapshot
     * (Iceberg's `table$files`): one row per parquet file the snapshot's
     * visibility actually covers, with sizes — what a scan planner or a
     * compaction policy looks at (small-file counts drive [[compact]]). */
@@ -860,6 +859,22 @@ object TripleSink {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("part_id")
       .parquet(s"$path/data/run=$runId")
+
+  /** Schema-check a delta frame and project it to the table's column
+    * order — shared by the COW ([[applyDelta]]) and MOR
+    * ([[applyDeltaMOR]]) row-level paths so they cannot drift. */
+  private def conformDelta(df: DataFrame, schemaCols: Seq[String],
+                           what: String): DataFrame = {
+    require(df.columns.toSet == schemaCols.toSet,
+      s"$what schema ${df.columns.sorted.mkString(",")} must equal the " +
+        s"table schema ${schemaCols.sorted.mkString(",")}")
+    df.select(schemaCols.map(col): _*)
+  }
+
+  /** Stamp the table's hash partition (the one partition spec every
+    * write path shares). */
+  private def stampPart(df: DataFrame, nParts: Int): DataFrame =
+    df.withColumn("part_id", pmod(xxhash64(col("subj")), lit(nParts)).cast("int"))
 
   /** Per-partition (rows, core-column hash) of a frame — the
     * incremental unit the manifest folds. */

@@ -339,6 +339,24 @@ class ResumeSpec extends AnyFunSuite {
       "expired delete file was not reclaimed")
     assert(readSet == Set(("a", "p", "1"), ("c", "p", "3x"), ("d", "p", "4")))
     assert(TripleSink.statsAudit(spark, path))
+
+    // SET semantics under MOR: a retraction row listed twice subtracts
+    // once — stats update by subtraction, so a duplicate would skew
+    // rows/hashes permanently while the read-side anti-join removes
+    // the single visible copy exactly once
+    TripleSink.applyDeltaMOR(spark, path, frame(("e", "p", "5")),
+      frame(("d", "p", "4"), ("d", "p", "4")), "m2")
+    assert(readSet == Set(("a", "p", "1"), ("c", "p", "3x"), ("e", "p", "5")))
+    assert(TripleSink.statsAudit(spark, path),
+      "duplicate retraction rows skewed the subtracted stats")
+
+    // write() cannot masquerade as a retry of a row-level commit: it
+    // would overwrite the MOR run's addition files and drop the
+    // delete state while publishing visible=[runId] alone
+    val ex = intercept[IllegalArgumentException] {
+      TripleSink.write(frame(("z", "p", "9")), path, "m2", nParts = 2)
+    }
+    assert(ex.getMessage.contains("row-level commits"))
   }
 
   test("sink tags: a tagged snapshot survives aggressive retention; dropping the tag releases it") {
