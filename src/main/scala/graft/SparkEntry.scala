@@ -1198,6 +1198,32 @@ object SparkEntry {
         .localCheckpoint(true)
     }),
 
+    // Iceberg-emulation ROLLBACK (A16, round-5): an append and a keyed
+    // merge mutate the base commit, rollback restores it as a NEW
+    // O(metadata) snapshot (no data file moves — spec-asserted in
+    // ResumeSpec), and a post-rollback append extends the RESTORED
+    // state. The read-back must equal base + the late append exactly,
+    // with every rolled-back row gone — which DuckDB mirrors as a
+    // plain union of the two surviving segments.
+    "q_sink_rollback" -> ((s, d) => {
+      val path = scratchDir("graft_sink_rollback")
+      def seg(lo: Int, hi: Int) = t(s, d, "customer")
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(seg(-1, 200), path, "r1", nParts = 8)
+      graft.sources.TripleSink.write(seg(200, 300), path, "r2", nParts = 8, append = true)
+      val updates = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          concat(lit("SEG-"), col("c_mktsegment")).as("obj"))
+      graft.sources.TripleSink.merge(s, path, updates, "m1")
+      graft.sources.TripleSink.rollback(path, "r1", "rb1")
+      graft.sources.TripleSink.write(seg(300, 350), path, "r3", nParts = 8, append = true)
+      graft.sources.TripleSink.read(s, path)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    }),
+
     // Z-order layout (round-5): lineitem rewritten as a Morton-curve
     // table over (l_partkey, l_suppkey) — each file a compact rectangle
     // of the key space, so parquet min/max stats skip row groups for
@@ -2306,6 +2332,16 @@ object SparkEntry {
         |SELECT b.subj, b.pred, b.obj FROM base b
         |WHERE NOT EXISTS (SELECT 1 FROM upd u
         |                  WHERE u.subj = b.subj AND u.pred = b.pred)
+        |ORDER BY subj, pred, obj""".stripMargin,
+
+    // rollback restores the base commit (append + merge undone), then
+    // a late append extends the restored state
+    "q_sink_rollback" ->
+      """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |FROM customer WHERE c_custkey <= 200
+        |UNION ALL
+        |SELECT c_name, 'in_segment', c_mktsegment
+        |FROM customer WHERE c_custkey > 300 AND c_custkey <= 350
         |ORDER BY subj, pred, obj""".stripMargin,
 
     // nearest-name resolution by edit distance, deterministic tiebreak

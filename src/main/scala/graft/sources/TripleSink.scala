@@ -845,6 +845,30 @@ object TripleSink {
     doWrite(read(spark, path).localCheckpoint(true), path, runId, nParts,
       append = false, opLabel = Some("replace"))
 
+  /** Snapshot ROLLBACK (Delta's RESTORE / Iceberg's
+    * rollback_to_snapshot): publish a NEW snapshot whose visibility,
+    * schema, stats and delete state are exactly those the snapshot
+    * `toRunId` committed. History moves FORWARD — the rolled-back
+    * snapshots stay time-travelable until retention reclaims them, and
+    * [[changes]] across the rollback reports the net undo — and the
+    * operation is O(metadata): no data file is read, written, or
+    * moved. The target must still be retained; its data dirs are alive
+    * by construction ([[expireSnapshots]] only reclaims runs no
+    * surviving manifest references, and the target's manifest
+    * survives). Writes after a rollback extend the restored state,
+    * under the restored partition spec and schema. */
+  def rollback(path: String, toRunId: String, runId: String): Unit = {
+    validateRunId(runId)
+    val all = manifests(path)
+    val target = all.filter(_.runId == toRunId).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot for run_id=$toRunId under $path"))
+    require(!all.exists(_.runId == runId),
+      s"run_id=$runId already committed - rollback commits are not retryable")
+    publish(path, target.copy(seq = all.last.seq + 1, runId = runId,
+      operation = "rollback", file = null))
+  }
+
   // ---- internals -----------------------------------------------------
 
   /** Data write for one run: hash-partition by subj, sort within

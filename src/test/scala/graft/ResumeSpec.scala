@@ -359,6 +359,51 @@ class ResumeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("row-level commits"))
   }
 
+  test("sink rollback: restores an earlier snapshot as a new commit, O(metadata); history extends forward") {
+    import graft.sources.TripleSink
+    import java.nio.file.{Files => F, Paths => P}
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("graft-sink-rb").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+    def readSet = TripleSink.read(spark, path)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2")), path, "r1", nParts = 4)
+    TripleSink.write(frame(("c", "p", "3")), path, "r2", nParts = 4, append = true)
+    TripleSink.merge(spark, path, frame(("a", "p", "1x")), "m1")
+    assert(readSet == Set(("a", "p", "1x"), ("b", "p", "2"), ("c", "p", "3")))
+
+    // rollback: pure metadata — no new data directory may appear
+    val runDirsBefore = scala.util.Using.resource(F.list(P.get(s"$path/data")))(
+      _.iterator().asScala.map(_.getFileName.toString).toSet)
+    TripleSink.rollback(path, "r1", "rb1")
+    val runDirsAfter = scala.util.Using.resource(F.list(P.get(s"$path/data")))(
+      _.iterator().asScala.map(_.getFileName.toString).toSet)
+    assert(runDirsAfter == runDirsBefore, "rollback wrote data")
+    assert(readSet == Set(("a", "p", "1"), ("b", "p", "2")))
+    assert(TripleSink.statsAudit(spark, path))
+
+    // the undone snapshots stay time-travelable; the changelog across
+    // the rollback is the net undo
+    assert(TripleSink.readAsOf(spark, path, "m1")
+      .select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().toSet ==
+      Set(("a", "p", "1x"), ("b", "p", "2"), ("c", "p", "3")))
+    val chg = TripleSink.changes(spark, path, "m1", "rb1")
+      .as[(String, String, String, String)].collect().toSet
+    assert(chg == Set(("insert", "a", "p", "1"),
+      ("delete", "a", "p", "1x"), ("delete", "c", "p", "3")))
+
+    // history extends forward from the restored state
+    TripleSink.write(frame(("d", "p", "4")), path, "r3", nParts = 4, append = true)
+    assert(readSet == Set(("a", "p", "1"), ("b", "p", "2"), ("d", "p", "4")))
+    assert(TripleSink.statsAudit(spark, path))
+
+    // unknown target / duplicate runId rejected
+    intercept[IllegalArgumentException] { TripleSink.rollback(path, "nope", "rb2") }
+    intercept[IllegalArgumentException] { TripleSink.rollback(path, "r1", "rb1") }
+  }
+
   test("sink tags: a tagged snapshot survives aggressive retention; dropping the tag releases it") {
     import graft.sources.TripleSink
     val path = Files.createTempDirectory("graft-sink-tags").toString

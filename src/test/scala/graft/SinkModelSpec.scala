@@ -5,8 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.TripleSink
 
 /** Model-based randomized testing of the snapshot table: a seeded
-  * random sequence of append / overwrite / merge / delta / compact ops
-  * must match an in-memory model after every commit, every historical
+  * random sequence of append / overwrite / merge / delta / rollback /
+  * compact ops must match an in-memory model after every commit, every historical
   * snapshot must time-travel to its recorded model state, the
   * changelog between any two snapshots must equal the model diff,
   * incremental manifest stats must survive a full-recompute audit
@@ -18,7 +18,7 @@ class SinkModelSpec extends AnyFunSuite {
   private def readSet(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
     df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
 
-  test("random append/overwrite/merge/delta/MOR-delta/compact sequence matches the model; history time-travels") {
+  test("random append/overwrite/merge/delta/MOR-delta/rollback/compact sequence matches the model; history time-travels") {
     val rnd = new scala.util.Random(1234)
     val path = Files.createTempDirectory("graft-sink-model").toString
     val preds = Seq("p0", "p1", "p2")
@@ -27,17 +27,18 @@ class SinkModelSpec extends AnyFunSuite {
         s"v${rnd.nextInt(1000000)}")).toSet
 
     var model = Set.empty[(String, String, String)]
-    // runId -> model state at that commit
-    var history = Vector.empty[(String, Set[(String, String, String)])]
+    // runId -> (model state, partition spec) at that commit — rollback
+    // restores BOTH (writes after it extend the restored spec)
+    var history = Vector.empty[(String, Set[(String, String, String)], Int)]
     var seq = 0
     var curParts = 4 // one partition spec per snapshot lineage: appends
                      // must reuse it; overwrite/compact may change it
     def commitId(kind: String): String = { seq += 1; s"$kind-$seq" }
 
     // first commit must be an overwrite (merge/delta need a table)
-    val ops = "ov" +: Seq.fill(22)(rnd.nextInt(6) match {
+    val ops = "ov" +: Seq.fill(24)(rnd.nextInt(7) match {
       case 0 => "ap"; case 1 => "ov"; case 2 => "mg"; case 3 => "dl"
-      case 4 => "mr"; case _ => "cp"
+      case 4 => "mr"; case 5 => "rb"; case _ => "cp"
     })
     ops.foreach { op =>
       val id = commitId(op)
@@ -78,21 +79,28 @@ class SinkModelSpec extends AnyFunSuite {
             adds.toSeq.toDF("subj", "pred", "obj"),
             dels.toSeq.toDF("subj", "pred", "obj"), id)
           model = model -- dels ++ adds
+        case "rb" =>
+          // restore a random retained snapshot: state AND partition
+          // spec roll back, as one new O(metadata) commit
+          val (tid, tmodel, tparts) = history(rnd.nextInt(history.size))
+          TripleSink.rollback(path, tid, id)
+          model = tmodel
+          curParts = tparts
         case "cp" =>
           curParts = 2 + rnd.nextInt(4)
           TripleSink.compact(spark, path, id, nParts = curParts)
       }
-      history :+= (id, model)
+      history :+= ((id, model, curParts))
       assert(readSet(TripleSink.read(spark, path)) == model, s"read != model after $id")
       assert(TripleSink.statsAudit(spark, path), s"stats audit failed after $id")
       // a random historical snapshot must read exactly as recorded
-      val (hid, hmodel) = history(rnd.nextInt(history.size))
+      val (hid, hmodel, _) = history(rnd.nextInt(history.size))
       assert(readSet(TripleSink.readAsOf(spark, path, hid)) == hmodel,
         s"time travel to $hid diverged after $id")
       // the changelog from a random earlier snapshot to now must equal
       // the model diff — across whatever merges/deltas/compactions the
       // span happens to contain
-      val (cid, cmodel) = history(rnd.nextInt(history.size))
+      val (cid, cmodel, _) = history(rnd.nextInt(history.size))
       val chg = TripleSink.changes(spark, path, cid, id).localCheckpoint(true)
       assert(readSet(chg.filter(chg("_change_type") === "insert")) == model -- cmodel,
         s"changelog inserts $cid -> $id diverged from model diff")
@@ -106,7 +114,7 @@ class SinkModelSpec extends AnyFunSuite {
     // empty — which is exactly what compact() guarantees
     val fid = commitId("cp")
     TripleSink.compact(spark, path, fid, nParts = curParts)
-    history :+= (fid, model)
+    history :+= ((fid, model, curParts))
     assert(TripleSink.deleteFilesDf(spark, path).count() == 0,
       "compaction left active delete files")
 
@@ -135,9 +143,9 @@ class SinkModelSpec extends AnyFunSuite {
     assert(readSet(TripleSink.read(spark, path)) == model)
     assert(TripleSink.statsAudit(spark, path))
     val (dead, live) = history.splitAt(history.size - keep)
-    live.foreach { case (id, m) =>
+    live.foreach { case (id, m, _) =>
       assert(readSet(TripleSink.readAsOf(spark, path, id)) == m) }
-    dead.takeRight(2).foreach { case (id, _) =>
+    dead.takeRight(2).foreach { case (id, _, _) =>
       intercept[IllegalArgumentException] { TripleSink.readAsOf(spark, path, id) } }
   }
 }
