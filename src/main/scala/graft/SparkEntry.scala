@@ -1224,6 +1224,26 @@ object SparkEntry {
         .orderBy("subj", "pred", "obj")
     }),
 
+    // Iceberg-emulation POINT LOOKUP (A16, round-5): entity-edge fetch
+    // over the subject-hash layout — the lookup computes the probes'
+    // part_ids from the manifest's partition spec and scans ONLY those
+    // directories (ResumeSpec pins the pruned inputFiles), so a
+    // 10^12-row table answers "edges of entity X" at 1/nParts cost.
+    // Values oracle against a plain IN-list select.
+    "q_sink_lookup" -> ((s, d) => {
+      val path = scratchDir("graft_sink_lookup")
+      def seg(lo: Int, hi: Int) = t(s, d, "customer")
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(seg(-1, 100), path, "r1", nParts = 8)
+      graft.sources.TripleSink.write(seg(100, 140), path, "r2", nParts = 8, append = true)
+      graft.sources.TripleSink.lookupSubjects(s, path,
+        Seq("Customer#000000005", "Customer#000000042", "Customer#000000120"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    }),
+
     // Z-order layout (round-5): lineitem rewritten as a Morton-curve
     // table over (l_partkey, l_suppkey) — each file a compact rectangle
     // of the key space, so parquet min/max stats skip row groups for
@@ -2342,6 +2362,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_name, 'in_segment', c_mktsegment
         |FROM customer WHERE c_custkey > 300 AND c_custkey <= 350
+        |ORDER BY subj, pred, obj""".stripMargin,
+
+    // the partition-pruned point lookup returns exactly the IN-list rows
+    "q_sink_lookup" ->
+      """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |FROM customer
+        |WHERE c_name IN ('Customer#000000005', 'Customer#000000042',
+        |                 'Customer#000000120')
         |ORDER BY subj, pred, obj""".stripMargin,
 
     // nearest-name resolution by edit distance, deterministic tiebreak

@@ -845,6 +845,32 @@ object TripleSink {
     doWrite(read(spark, path).localCheckpoint(true), path, runId, nParts,
       append = false, opLabel = Some("replace"))
 
+  /** POINT LOOKUP by subject — the payoff of the subject-hash
+    * partition spec every write path shares: fetching one entity's
+    * outgoing edges reads at most |subjects| part directories per
+    * visible run instead of the table (at the 10^12-row design point,
+    * 1/nParts of the data per subject). Pruning happens at MANIFEST
+    * level: the lookup part_ids come from the same
+    * pmod(xxhash64(subj), nParts) the writers stamp — evaluated
+    * through Spark's own expression on a |subjects|-row local frame,
+    * so writer and reader can never disagree on the hash — and only
+    * the surviving (run, part) directories are listed and scanned
+    * (spec-asserted via inputFiles). MOR delete files still anti-join
+    * (they are scoped by run, not partition); the residual subj
+    * filter cuts hash-bucket cohabitants. */
+  def lookupSubjects(spark: SparkSession, path: String,
+                     subjects: Seq[String]): DataFrame = {
+    require(subjects.nonEmpty, "empty subject list")
+    val m = manifests(path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $path"))
+    import spark.implicits._
+    val parts = subjects.toDF("subj")
+      .select(pmod(xxhash64(col("subj")), lit(m.nParts)).cast("int"))
+      .collect().map(_.getInt(0)).toSet // bounded by |subjects|
+    readVisible(spark, path, m, Some(parts))
+      .filter(col("subj").isin(subjects: _*))
+  }
+
   /** Snapshot ROLLBACK (Delta's RESTORE / Iceberg's
     * rollback_to_snapshot): publish a NEW snapshot whose visibility,
     * schema, stats and delete state are exactly those the snapshot
@@ -1101,11 +1127,14 @@ object TripleSink {
     * not an error: an empty table must stay readable and recoverable
     * (the next append/delta commit refills it). */
   private def readVisible(spark: SparkSession, path: String,
-                          m: Manifest): DataFrame = {
+                          m: Manifest,
+                          partFilter: Option[Set[Int]] = None): DataFrame = {
     // resolve to concrete part dirs so runs that wrote no data (or
-    // whose dirs hold no parquet) contribute no unreadable paths
+    // whose dirs hold no parquet) contribute no unreadable paths;
+    // partFilter is manifest-level partition pruning ([[lookupSubjects]])
     val paths = m.visible.flatMap { rv =>
-      rv.parts.getOrElse(partsOnDisk(path, rv.run))
+      val concrete = rv.parts.getOrElse(partsOnDisk(path, rv.run))
+      partFilter.fold(concrete)(f => concrete.filter(f))
         .map(p => s"$path/data/run=${rv.run}/part_id=$p")
     }
     if (paths.isEmpty) {

@@ -359,6 +359,39 @@ class ResumeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("row-level commits"))
   }
 
+  test("sink point lookup: subject fetch reads only the subjects' hash partitions") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-lookup").toString
+    // 200 subjects spread over 8 hash partitions, two visible runs
+    def frame(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (s"e$i", "p", s"v$i")).toDF("subj", "pred", "obj")
+    TripleSink.write(frame(0, 150), path, "r1", nParts = 8)
+    TripleSink.write(frame(150, 200), path, "r2", nParts = 8, append = true)
+
+    val probes = Seq("e7", "e42", "e180")
+    val hit = TripleSink.lookupSubjects(spark, path, probes)
+    assert(hit.select("subj", "obj").as[(String, String)].collect().toSet ==
+      Set(("e7", "v7"), ("e42", "v42"), ("e180", "v180")))
+
+    // the scan must touch ONLY the probes' part dirs — at most
+    // |probes| partitions per run, never the whole table
+    val expectedParts = probes.toDF("subj")
+      .select(pmod(xxhash64(col("subj")), lit(8)).cast("int"))
+      .as[Int].collect().toSet
+    val touched = hit.inputFiles.map { f =>
+      val m = "part_id=(\\d+)".r.findFirstMatchIn(f)
+      assert(m.isDefined, s"non-partitioned input $f")
+      m.get.group(1).toInt
+    }.toSet
+    assert(touched == expectedParts,
+      s"lookup scanned partitions $touched, expected $expectedParts of 8")
+    assert(hit.inputFiles.length < TripleSink.read(spark, path).inputFiles.length,
+      "lookup read as many files as a full scan")
+
+    // a subject absent from the table returns empty, still pruned
+    assert(TripleSink.lookupSubjects(spark, path, Seq("nope")).count() == 0)
+  }
+
   test("sink rollback: restores an earlier snapshot as a new commit, O(metadata); history extends forward") {
     import graft.sources.TripleSink
     import java.nio.file.{Files => F, Paths => P}
