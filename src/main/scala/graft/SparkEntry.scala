@@ -1244,6 +1244,26 @@ object SparkEntry {
         .orderBy("subj", "pred", "obj")
     }),
 
+    // Iceberg-emulation SQL SURFACE (A16, round-5): the snapshot table
+    // read through the DataSource V2 relation
+    // (graft.sources.v2.TriplesSource) as a plain SQL view — planning
+    // pins the snapshot, subj predicates prune hash partitions at plan
+    // time, and projection reaches the parquet reader (TriplesV2Spec
+    // pins all three). The aggregate over the view must match DuckDB
+    // aggregating the same logical table.
+    "q_sink_sql" -> ((s, d) => {
+      val path = scratchDir("graft_sink_sql")
+      val base = t(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(base, path, "r1", nParts = 8)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_kg_sql
+               |USING graft.sources.v2.TriplesSource
+               |OPTIONS (path '$path')""".stripMargin)
+      s.sql("""SELECT obj AS segment, count(*) AS n
+              |FROM graft_kg_sql GROUP BY obj ORDER BY segment""".stripMargin)
+    }),
+
     // Z-order layout (round-5): lineitem rewritten as a Morton-curve
     // table over (l_partkey, l_suppkey) — each file a compact rectangle
     // of the key space, so parquet min/max stats skip row groups for
@@ -2371,6 +2391,12 @@ object SparkEntry {
         |WHERE c_name IN ('Customer#000000005', 'Customer#000000042',
         |                 'Customer#000000120')
         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // the SQL view over the DSv2 relation aggregates the same table
+    "q_sink_sql" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n
+        |FROM customer WHERE c_custkey <= 300
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     // nearest-name resolution by edit distance, deterministic tiebreak
     "q_string_editdist" ->

@@ -895,6 +895,35 @@ object TripleSink {
       operation = "rollback", file = null))
   }
 
+  /** Resolve a snapshot for an external scan planner (the DSv2 source
+    * [[graft.sources.v2.TriplesSource]]): the latest manifest, the one
+    * a runId committed, or the one a tag pins — the same rules
+    * [[read]]/[[readAsOf]]/[[readTag]] apply. */
+  private[sources] def resolveSnapshot(path: String, asOf: Option[String],
+                                       tagName: Option[String]): Manifest = {
+    require(asOf.isEmpty || tagName.isEmpty,
+      "asOf and tag are mutually exclusive")
+    val run = tagName match {
+      case Some(tg) => Some(resolveTag(path, tg).getOrElse(
+        throw new IllegalArgumentException(s"no tag '$tg' under $path")))
+      case None => asOf
+    }
+    run match {
+      case Some(r) => manifests(path).filter(_.runId == r).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no snapshot for run_id=$r under $path"))
+      case None => manifests(path).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshot under $path"))
+    }
+  }
+
+  /** Concrete (run, part_id) directories a snapshot's visibility covers
+    * — the scan-planning unit for external planners. */
+  private[sources] def visiblePartDirs(path: String,
+                                       m: Manifest): Seq[(String, Int)] =
+    m.visible.flatMap { rv =>
+      rv.parts.getOrElse(partsOnDisk(path, rv.run)).map(p => (rv.run, p))
+    }
+
   // ---- internals -----------------------------------------------------
 
   /** Data write for one run: hash-partition by subj, sort within
