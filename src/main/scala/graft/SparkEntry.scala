@@ -1198,6 +1198,32 @@ object SparkEntry {
         .localCheckpoint(true)
     }),
 
+    // Iceberg-emulation MERGE-ON-READ delta (A16, round-5): the
+    // retractions commit as a scoped equality-delete FILE — no data
+    // partition is rewritten (Iceberg v2's write-side position of the
+    // COW/MOR dial; CdcBench measures 5× on scattered retractions) —
+    // and readers apply it as a broadcast anti-join scoped to the runs
+    // visible when the delete committed. The read-back must equal
+    // DuckDB's mirror of "base minus retracted plus re-added", so a
+    // delete file that under- or over-matches fails the hash.
+    "q_sink_mor" -> ((s, d) => {
+      val path = scratchDir("graft_sink_mor")
+      def seg(lo: Int, hi: Int) = t(s, d, "customer")
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(seg(-1, 200), path, "r1", nParts = 8)
+      graft.sources.TripleSink.write(seg(200, 300), path, "r2", nParts = 8, append = true)
+      val retract = seg(-1, 50)
+      val readd = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          concat(lit("SEG-"), col("c_mktsegment")).as("obj"))
+      graft.sources.TripleSink.applyDeltaMOR(s, path, readd, retract, "mor1")
+      graft.sources.TripleSink.read(s, path)
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    }),
+
     // Iceberg-emulation ROLLBACK (A16, round-5): an append and a keyed
     // merge mutate the base commit, rollback restores it as a NEW
     // O(metadata) snapshot (no data file moves — spec-asserted in
@@ -1240,6 +1266,32 @@ object SparkEntry {
       graft.sources.TripleSink.write(seg(100, 140), path, "r2", nParts = 8, append = true)
       graft.sources.TripleSink.lookupSubjects(s, path,
         Seq("Customer#000000005", "Customer#000000042", "Customer#000000120"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    }),
+
+    // Iceberg-emulation BRANCHES / write-audit-publish (A16, round-5):
+    // a branch forks the table at the base commit, the risky append is
+    // STAGED on the branch (readers of main never see it), and after
+    // the audit passes fastForward publishes the branch head onto main
+    // as one O(metadata) commit over the shared data files. The final
+    // main read must equal base + staged append exactly — a staged row
+    // leaking early or dropped at publish fails the hash. Divergence
+    // rejection, retention pinning, and orphan aging are spec-asserted
+    // in ResumeSpec.
+    "q_sink_branch" -> ((s, d) => {
+      val path = scratchDir("graft_sink_branch")
+      def seg(lo: Int, hi: Int) = t(s, d, "customer")
+        .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_name").as("subj"), lit("in_segment").as("pred"),
+          col("c_mktsegment").as("obj"))
+      graft.sources.TripleSink.write(seg(-1, 200), path, "r1", nParts = 8)
+      graft.sources.TripleSink.createBranch(path, "audit", "r1")
+      graft.sources.TripleSink.writeToBranch(seg(200, 300), path, "audit",
+        "b1", nParts = 8, append = true)
+      graft.sources.TripleSink.fastForward(path, "audit")
+      graft.sources.TripleSink.dropBranch(path, "audit")
+      graft.sources.TripleSink.read(s, path)
         .select("subj", "pred", "obj")
         .orderBy("subj", "pred", "obj")
     }),
@@ -2374,6 +2426,16 @@ object SparkEntry {
         |                  WHERE u.subj = b.subj AND u.pred = b.pred)
         |ORDER BY subj, pred, obj""".stripMargin,
 
+    // merge-on-read delta: retracted rows leave via the delete file's
+    // read-time anti-join, re-adds land via the normal append
+    "q_sink_mor" ->
+      """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |FROM customer WHERE c_custkey > 50 AND c_custkey <= 300
+        |UNION ALL
+        |SELECT c_name, 'in_segment', 'SEG-' || c_mktsegment
+        |FROM customer WHERE c_custkey <= 50
+        |ORDER BY subj, pred, obj""".stripMargin,
+
     // rollback restores the base commit (append + merge undone), then
     // a late append extends the restored state
     "q_sink_rollback" ->
@@ -2390,6 +2452,13 @@ object SparkEntry {
         |FROM customer
         |WHERE c_name IN ('Customer#000000005', 'Customer#000000042',
         |                 'Customer#000000120')
+        |ORDER BY subj, pred, obj""".stripMargin,
+
+    // write-audit-publish: after fastForward, main reads as base plus
+    // the branch-staged append
+    "q_sink_branch" ->
+      """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
+        |FROM customer WHERE c_custkey <= 300
         |ORDER BY subj, pred, obj""".stripMargin,
 
     // the SQL view over the DSv2 relation aggregates the same table

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *   <path>/_manifests/manifest-<seq>-<runId>.json  -- one per snapshot
   *   <path>/_manifest.json               -- copy of the LATEST manifest
   *   <path>/_refs/tag-<name>.json        -- named snapshot refs
+  *   <path>/_branches/<name>/_manifests/ -- writable refs ([[createBranch]]):
+  *                                          per-branch manifest chains over
+  *                                          the SAME shared data/ tree
   * }}}
   *
   * Each manifest records which (run, partition) data directories are
@@ -116,7 +119,7 @@ object TripleSink {
     * ADVICE). */
   def write(triples: DataFrame, path: String, runId: String,
             nParts: Int = 32, append: Boolean = false): Unit =
-    doWrite(triples, path, runId, nParts, append, opLabel = None)
+    doWrite(triples, path, runId, nParts, append, opLabel = None, branch = None)
 
   /** [[write]] with an operation-label override — [[compact]] commits
     * as `replace` so [[changes]] can tell a value-transparent rewrite
@@ -124,10 +127,12 @@ object TripleSink {
     * the same distinction for its incremental scans). */
   private def doWrite(triples: DataFrame, path: String, runId: String,
                       nParts: Int, append: Boolean,
-                      opLabel: Option[String]): Unit = {
+                      opLabel: Option[String],
+                      branch: Option[String]): Unit = {
     validateRunId(runId)
     val spark = triples.sparkSession
-    val all = manifests(path)
+    val all = manifests(path, branch)
+    requireRunIdFreeElsewhere(path, runId, branch)
     val prior = all.lastOption
     val retryOf = all.find(_.runId == runId)
     retryOf.foreach { orig =>
@@ -184,7 +189,7 @@ object TripleSink {
       snapshotId = partStats.foldLeft(0L)(_ ^ _.h),
       nParts = nParts,
       visible = visible, schema = schema, partitions = partStats,
-      file = null, deletes = deletes))
+      file = null, deletes = deletes), branch)
   }
 
   /** MERGE INTO-style keyed upsert (Iceberg's copy-on-write row-level
@@ -207,6 +212,7 @@ object TripleSink {
     require(all.nonEmpty, s"merge into an empty table under $path")
     require(!all.exists(_.runId == runId),
       s"run_id=$runId already committed - merge commits are not retryable")
+    requireRunIdFreeElsewhere(path, runId, None)
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
@@ -256,6 +262,7 @@ object TripleSink {
           s"${retry.get.operation} - only the LATEST delta commit is retryable")
       return
     }
+    requireRunIdFreeElsewhere(path, runId, None)
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
@@ -304,6 +311,7 @@ object TripleSink {
           s"${retry.get.operation} - only the LATEST delta-mor commit is retryable")
       return
     }
+    requireRunIdFreeElsewhere(path, runId, None)
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
@@ -651,6 +659,133 @@ object TripleSink {
   private def resolveTag(path: String, name: String): Option[String] =
     tags(path).collectFirst { case (n, r) if n == name => r }
 
+  // ---- branches (writable refs): write-audit-publish ------------------
+
+  /** Branches 1 of 6 — fork the table at a committed snapshot
+    * (Iceberg's writable refs). A branch is its own manifest chain
+    * seeded with a copy of the fork-point manifest; its data files
+    * live in the SAME `data/` tree as main's, so forking moves no
+    * bytes and [[fastForward]] publishes in O(metadata). This is the
+    * write-audit-publish workflow a 10^12-row production table needs:
+    * stage risky commits on a branch, audit them with [[readBranch]]
+    * (quality checks, row counts, [[statsAudit]]-style verification),
+    * then [[fastForward]] main to the branch head — or [[dropBranch]]
+    * and nothing ever touched the published table. Retention treats
+    * every branch-referenced run as live, so main-side
+    * [[expireSnapshots]] can never GC staged data out from under an
+    * open branch. */
+  def createBranch(path: String, name: String, fromRunId: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
+    val m = manifests(path).filter(_.runId == fromRunId).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot for run_id=$fromRunId under $path"))
+    require(manifests(path, Some(name)).isEmpty,
+      s"branch '$name' already exists (dropBranch first)")
+    // the seed keeps the base manifest's seq and runId: they are the
+    // divergence anchor fastForward compares against main's head
+    publish(path, m.copy(file = null), Some(name))
+  }
+
+  /** Branches 2 of 6 — commit onto a branch: identical semantics to
+    * [[write]] (overwrite/append, incremental stats, schema evolution,
+    * idempotent latest-run retry), but the snapshot is visible ONLY on
+    * the branch until [[fastForward]] publishes it. Run ids are
+    * table-global (run directories are shared), so a branch commit
+    * cannot reuse an id any other chain has committed. */
+  def writeToBranch(triples: DataFrame, path: String, name: String,
+                    runId: String, nParts: Int = 32,
+                    append: Boolean = false): Unit = {
+    require(manifests(path, Some(name)).nonEmpty,
+      s"no branch '$name' under $path (createBranch first)")
+    doWrite(triples, path, runId, nParts, append, opLabel = None,
+      branch = Some(name))
+  }
+
+  /** Branches 3 of 6 — the table as of a branch's head snapshot. */
+  def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
+    manifests(path, Some(name)).lastOption match {
+      case Some(m) => readVisible(spark, path, m)
+      case None => throw new IllegalArgumentException(
+        s"no branch '$name' under $path")
+    }
+
+  /** Branches 4 of 6 — the branch list: (name, head run_id), sorted. */
+  def branches(path: String): Seq[(String, String)] =
+    branchNames(path).flatMap(n =>
+      manifests(path, Some(n)).lastOption.map(m => n -> m.runId))
+
+  /** Branches 5 of 6 — publish a branch's staged work onto main
+    * (Iceberg's `fast_forward`): main's head must still be the
+    * branch's fork point — a DIVERGED main fails loudly (merging
+    * diverged chains is a semantic decision, not a ref move) — and the
+    * branch head's state (visibility, schema, stats, deletes) becomes
+    * one new main commit tagged `fast-forward`, carrying the head's
+    * runId so [[readAsOf]] time travel works on main afterwards. No
+    * data file is read or moved. A branch with nothing staged is a
+    * no-op. The branch stays open (drop it separately); its runs stay
+    * live until then. */
+  def fastForward(path: String, name: String): Unit = {
+    val bAll = manifests(path, Some(name))
+    require(bAll.nonEmpty, s"no branch '$name' under $path")
+    val base = bAll.head
+    val head = bAll.last
+    if (head.seq == base.seq) return // nothing staged
+    val main = manifests(path)
+    if (main.lastOption.exists(_.runId == head.runId)) return // already published (idempotent)
+    require(main.nonEmpty && main.last.seq == base.seq &&
+        main.last.runId == base.runId,
+      s"main has advanced since branch '$name' forked (main head seq=" +
+        s"${main.lastOption.map(_.seq).getOrElse(-1)}/run_id=" +
+        s"${main.lastOption.map(_.runId).getOrElse("-")}; fork point seq=" +
+        s"${base.seq}/run_id=${base.runId}) - fast-forward requires a " +
+        "non-diverged main")
+    require(!main.exists(_.runId == head.runId),
+      s"run_id=${head.runId} already committed on main")
+    publish(path, head.copy(seq = main.last.seq + 1,
+      operation = "fast-forward", file = null))
+  }
+
+  /** Branches 6 of 6 — drop a branch. Its staged (never fast-forwarded)
+    * runs become unreferenced and age out via [[removeOrphans]];
+    * nothing main references is affected. Returns whether the branch
+    * existed. */
+  def dropBranch(path: String, name: String): Boolean = {
+    val dir = root(path).resolve("_branches").resolve(name)
+    if (!Files.isDirectory(dir)) false
+    else { deleteRecursively(dir); true }
+  }
+
+  private def branchNames(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val bdir = root(path).resolve("_branches")
+    if (!Files.isDirectory(bdir)) return Nil
+    scala.util.Using.resource(Files.list(bdir)) { s =>
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toList.sorted
+    }
+  }
+
+  /** Every chain's manifests: main plus every branch — the reference
+    * universe GC and cross-chain run-id checks consult. */
+  private def allChainManifests(path: String): Seq[(String, Seq[Manifest])] =
+    ("main" -> manifests(path)) +:
+      branchNames(path).map(b => b -> manifests(path, Some(b)))
+
+  /** Run directories are shared across chains, so a fresh commit's
+    * runId must be free EVERYWHERE — a branch commit reusing a main
+    * runId (or vice versa) would overwrite the other chain's data
+    * files. Same-chain reuse is handled by each entry point's own
+    * retry rules. */
+  private def requireRunIdFreeElsewhere(path: String, runId: String,
+                                        chain: Option[String]): Unit = {
+    val here = chain.getOrElse("main")
+    allChainManifests(path).foreach { case (label, ms) =>
+      require(label == here || !ms.exists(_.runId == runId),
+        s"run_id=$runId already committed on chain '$label' - run " +
+          "directories are shared across branches; pick a fresh id")
+    }
+  }
+
   /** Full-recompute verification of the incremental stats: rescans the
     * LATEST snapshot's visible data and compares per-partition
     * (rows, hash) and the folded snapshot_id against the manifest.
@@ -691,13 +826,18 @@ object TripleSink {
     // tagged manifest survives however far it falls behind keepLast
     val (keepTagged, expire) = candidates.partition(m => tagged(m.runId))
     val keep = keepTagged ++ suffix
-    val live = keep.flatMap(_.visibleRunNames).toSet
+    // every open branch pins the runs its chain references (its staged
+    // commits AND its fork-point base): main-side retention must never
+    // GC data out from under a branch
+    val branchPinned = branchNames(path)
+      .flatMap(b => manifests(path, Some(b)))
+    val live = (keep ++ branchPinned).flatMap(_.visibleRunNames).toSet
     val dead = expire.flatMap(_.visibleRunNames).distinct
       .filterNot(live)
       .map(r => root(path).resolve("data").resolve(s"run=$r"))
       .filter(Files.isDirectory(_))
     // equality-delete files referenced only by expired manifests go too
-    val liveDel = keep.flatMap(_.deletes.map(_.run)).toSet
+    val liveDel = (keep ++ branchPinned).flatMap(_.deletes.map(_.run)).toSet
     val deadDel = expire.flatMap(_.deletes.map(_.run)).distinct
       .filterNot(liveDel)
       .map(r => root(path).resolve("_deletes").resolve(s"run=$r"))
@@ -793,7 +933,7 @@ object TripleSink {
     * from a periodic maintenance job. Returns deleted run names. */
   def removeOrphans(path: String, olderThanMs: Long): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val all = manifests(path)
+    val all = allChainManifests(path).flatMap(_._2) // branch-staged runs are referenced, not orphans
     val cutoff = System.currentTimeMillis() - olderThanMs
     def sweep(dir: Path, referenced: Set[String]): Seq[String] = {
       if (!Files.isDirectory(dir)) return Nil
@@ -843,7 +983,7 @@ object TripleSink {
     // Committed as `replace`: values are untouched, so changelog
     // reads skip it rather than reporting a full-table rewrite.
     doWrite(read(spark, path).localCheckpoint(true), path, runId, nParts,
-      append = false, opLabel = Some("replace"))
+      append = false, opLabel = Some("replace"), branch = None)
 
   /** POINT LOOKUP by subject — the payoff of the subject-hash
     * partition spec every write path shares: fetching one entity's
@@ -891,6 +1031,7 @@ object TripleSink {
         s"no snapshot for run_id=$toRunId under $path"))
     require(!all.exists(_.runId == runId),
       s"run_id=$runId already committed - rollback commits are not retryable")
+    requireRunIdFreeElsewhere(path, runId, None)
     publish(path, target.copy(seq = all.last.seq + 1, runId = runId,
       operation = "rollback", file = null))
   }
@@ -900,9 +1041,14 @@ object TripleSink {
     * a runId committed, or the one a tag pins — the same rules
     * [[read]]/[[readAsOf]]/[[readTag]] apply. */
   private[sources] def resolveSnapshot(path: String, asOf: Option[String],
-                                       tagName: Option[String]): Manifest = {
-    require(asOf.isEmpty || tagName.isEmpty,
-      "asOf and tag are mutually exclusive")
+                                       tagName: Option[String],
+                                       branchName: Option[String] = None): Manifest = {
+    require(Seq(asOf, tagName, branchName).count(_.isDefined) <= 1,
+      "asOf, tag and branch are mutually exclusive")
+    branchName.foreach { b =>
+      return manifests(path, Some(b)).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no branch '$b' under $path"))
+    }
     val run = tagName match {
       case Some(tg) => Some(resolveTag(path, tg).getOrElse(
         throw new IllegalArgumentException(s"no tag '$tg' under $path")))
@@ -1015,13 +1161,16 @@ object TripleSink {
   /** Atomic manifest publish: write to a temp name, ATOMIC_MOVE into
     * place. The seq-collision check plus the no-replace move make a
     * second writer racing this commit fail loudly instead of silently
-    * forking history (single-writer contract, documented above). */
-  private def publish(path: String, m: Manifest): Unit = {
-    val mdir = root(path).resolve("_manifests")
+    * forking history (single-writer contract, documented above).
+    * `branch = Some(name)` publishes onto that branch's chain instead
+    * of main's (and skips main's `_manifest.json` latest-copy). */
+  private def publish(path: String, m: Manifest,
+                      branch: Option[String] = None): Unit = {
+    val mdir = mdirOf(path, branch)
     Files.createDirectories(mdir)
     // zero-padded seq so lexicographic listing order == commit order
     val target = mdir.resolve(f"manifest-${m.seq}%06d-${m.runId}.json")
-    val collision = manifests(path).find(o => o.seq == m.seq)
+    val collision = manifests(path, branch).find(o => o.seq == m.seq)
     require(collision.isEmpty,
       s"manifest seq=${m.seq} already exists (run_id=${collision.get.runId}): " +
         "another writer committed concurrently - this table is single-writer")
@@ -1029,12 +1178,14 @@ object TripleSink {
     val tmp = Files.createTempFile(mdir, s".manifest-${m.seq}-", ".tmp")
     Files.write(tmp, body)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE) // no REPLACE: same-name race fails
-    // latest-manifest copy at the table root (convenience + back-compat);
-    // also published atomically so readers never see a torn file
-    val tmp2 = Files.createTempFile(root(path), ".manifest-latest-", ".tmp")
-    Files.write(tmp2, body)
-    Files.move(tmp2, root(path).resolve("_manifest.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (branch.isEmpty) {
+      // latest-manifest copy at the table root (convenience + back-compat);
+      // also published atomically so readers never see a torn file
+      val tmp2 = Files.createTempFile(root(path), ".manifest-latest-", ".tmp")
+      Files.write(tmp2, body)
+      Files.move(tmp2, root(path).resolve("_manifest.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private def render(m: Manifest): String = {
@@ -1068,12 +1219,23 @@ object TripleSink {
 
   private def root(path: String): Path = Paths.get(path.stripPrefix("file:"))
 
-  /** Committed manifests, oldest first by seq. Parsed with the Jackson
-    * shipped in Spark's own classpath (the writer is [[render]] — the
-    * format is this module's, only the parsing plumbing is borrowed). */
-  private def manifests(path: String): Seq[Manifest] = {
+  /** Manifest chain directory: main's `_manifests` or a branch's
+    * `_branches/<name>/_manifests`. Data directories are NOT chained —
+    * every chain's manifests reference the one shared `data/` tree. */
+  private def mdirOf(path: String, branch: Option[String]): Path =
+    branch match {
+      case Some(b) => root(path).resolve("_branches").resolve(b).resolve("_manifests")
+      case None => root(path).resolve("_manifests")
+    }
+
+  /** Committed manifests of a chain (main by default), oldest first by
+    * seq. Parsed with the Jackson shipped in Spark's own classpath (the
+    * writer is [[render]] — the format is this module's, only the
+    * parsing plumbing is borrowed). */
+  private def manifests(path: String,
+                        branch: Option[String] = None): Seq[Manifest] = {
     import scala.jdk.CollectionConverters._
-    val mdir = root(path).resolve("_manifests")
+    val mdir = mdirOf(path, branch)
     if (!Files.isDirectory(mdir)) return Nil
     val namePat = """manifest-(\d+)-(.+)\.json""".r
     scala.util.Using.resource(Files.list(mdir)) { s =>

@@ -26,7 +26,8 @@ import graft.sources.TripleSink
   * Spark relation instead of a library call:
   *
   *   spark.read.format("graft.sources.v2.TriplesSource")
-  *     .option("path", table).option("asOf", runId | "tag", name).load()
+  *     .option("path", table)
+  *     .option("asOf", runId | "tag", name | "branch", name).load()
   *
   *   CREATE TEMPORARY VIEW kg USING graft.sources.v2.TriplesSource
   *     OPTIONS (path '...', asOf 'r1')        -- plain SQL from here on
@@ -73,7 +74,8 @@ object TriplesTable {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("option 'path' is required"))
     new TriplesTable(path, TripleSink.resolveSnapshot(path,
-      Option(options.get("asOf")), Option(options.get("tag"))))
+      Option(options.get("asOf")), Option(options.get("tag")),
+      Option(options.get("branch"))))
   }
 
   private[v2] def toDataType(ddl: String): DataType = DataType.fromDDL(ddl)

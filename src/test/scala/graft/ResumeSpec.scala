@@ -776,4 +776,91 @@ class ResumeSpec extends AnyFunSuite {
     assert(again.count() == 0)
     assert(lin.table.filter(col("stage") === "s").count() == 2, "rerun must resume, not recommit")
   }
+
+  test("branches: write-audit-publish — staged commits invisible on main until fastForward") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-branch").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2")), path, "r1", nParts = 4)
+    TripleSink.createBranch(path, "wap", "r1")
+    TripleSink.writeToBranch(frame(("c", "p", "3")), path, "wap", "b1",
+      nParts = 4, append = true)
+
+    // audit: the branch sees the staged append, main does not
+    assert(rows(TripleSink.readBranch(spark, path, "wap")) ==
+      Set(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")))
+    assert(rows(TripleSink.read(spark, path)) ==
+      Set(("a", "p", "1"), ("b", "p", "2")))
+    assert(TripleSink.branches(path) == Seq("wap" -> "b1"))
+
+    // publish: one O(metadata) main commit carrying the branch head
+    TripleSink.fastForward(path, "wap")
+    assert(rows(TripleSink.read(spark, path)) ==
+      Set(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")))
+    val (seq, runId, total) = TripleSink.snapshots(path).last
+    assert(runId == "b1" && total == 3L && seq == 1)
+    // time travel to the published branch commit works on main
+    assert(rows(TripleSink.readAsOf(spark, path, "b1")).size == 3)
+    assert(TripleSink.statsAudit(spark, path), "fast-forwarded stats must audit clean")
+    TripleSink.fastForward(path, "wap") // idempotent: already published
+    assert(TripleSink.snapshots(path).size == 2, "re-publish must be a no-op")
+    assert(TripleSink.dropBranch(path, "wap"))
+    assert(rows(TripleSink.read(spark, path)).size == 3,
+      "published data must survive the branch drop")
+  }
+
+  test("branches: diverged main rejects fastForward; run ids are table-global") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-branch2").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+
+    TripleSink.write(frame(("a", "p", "1")), path, "r1", nParts = 4)
+    TripleSink.createBranch(path, "exp", "r1")
+    TripleSink.writeToBranch(frame(("c", "p", "3")), path, "exp", "b1",
+      nParts = 4, append = true)
+    // run dirs are shared across chains: reusing main's r1 on the
+    // branch (or the branch's b1 on main) must fail loudly
+    assertThrows[IllegalArgumentException] {
+      TripleSink.writeToBranch(frame(("x", "p", "9")), path, "exp", "r1",
+        nParts = 4, append = true)
+    }
+    assertThrows[IllegalArgumentException] {
+      TripleSink.write(frame(("x", "p", "9")), path, "b1", nParts = 4, append = true)
+    }
+    // main advances past the fork point -> the branch can no longer
+    // fast-forward (merging diverged chains is not a ref move)
+    TripleSink.write(frame(("d", "p", "4")), path, "r2", nParts = 4, append = true)
+    assertThrows[IllegalArgumentException] { TripleSink.fastForward(path, "exp") }
+  }
+
+  test("branches: retention pins branch-referenced runs; dropped branches age out as orphans") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-branch3").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2")), path, "r1", nParts = 4)
+    TripleSink.createBranch(path, "exp", "r1")
+    TripleSink.writeToBranch(frame(("c", "p", "3")), path, "exp", "b1",
+      nParts = 4, append = true)
+    // main moves on and retention drops every old MAIN manifest — but
+    // the open branch pins r1's and b1's DATA, so the branch still reads
+    TripleSink.write(frame(("d", "p", "4")), path, "r2", nParts = 4)
+    val (expired, reclaimed) = TripleSink.expireSnapshots(path, keepLast = 1)
+    assert(expired == 1 && reclaimed == 0,
+      s"r1's manifest expires but its data is branch-pinned (got $expired/$reclaimed)")
+    assert(rows(TripleSink.readBranch(spark, path, "exp")) ==
+      Set(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")))
+    // dropping the branch releases its runs to the age-gated janitor
+    assert(TripleSink.dropBranch(path, "exp"))
+    val orphaned = TripleSink.removeOrphans(path, olderThanMs = -60000).toSet
+    assert(orphaned == Set("r1", "b1"),
+      s"dropped branch's staged+pinned runs become orphans (got $orphaned)")
+    assert(rows(TripleSink.read(spark, path)) == Set(("d", "p", "4")),
+      "main is untouched by branch GC")
+  }
 }

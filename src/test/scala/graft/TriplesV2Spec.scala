@@ -69,6 +69,17 @@ class TriplesV2Spec extends AnyFunSuite {
     assert(rows(pinned).map(_._1) == Set("a", "c", "d", "e"),
       "racing commit shifted a pinned v2 scan")
     assert(rows(v2(path)) == Set(("z", "z", "z")))
+
+    // branch option: the v2 relation reads a branch head == readBranch,
+    // while the default read stays on main
+    TripleSink.createBranch(path, "exp", "r9")
+    TripleSink.writeToBranch(frame(("y", "y", "y")), path, "exp", "b1",
+      nParts = 2, append = true)
+    assert(rows(v2(path, "branch" -> "exp")) ==
+      Set(("z", "z", "z"), ("y", "y", "y")))
+    assert(rows(v2(path)) == Set(("z", "z", "z")),
+      "branch-staged rows leaked into the main v2 read")
+    intercept[IllegalArgumentException] { v2(path, "branch" -> "nope").count() }
   }
 
   test("v2 pushdown: subj predicates prune partitions at plan time; projection prunes columns") {
