@@ -796,8 +796,19 @@ class ResumeSpec extends AnyFunSuite {
       Set(("a", "p", "1"), ("b", "p", "2")))
     assert(TripleSink.branches(path) == Seq("wap" -> "b1"))
 
-    // publish: one O(metadata) main commit carrying the branch head
+    // publish: one O(metadata) main commit carrying the branch head —
+    // no data is rewritten (the run-dir set is exactly what the two
+    // writes left behind)
+    def runDirs = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(path, "data")
+      scala.util.Using.resource(java.nio.file.Files.list(d))(
+        _.iterator().asScala.map(_.getFileName.toString).toSet)
+    }
+    val before = runDirs
     TripleSink.fastForward(path, "wap")
+    assert(runDirs == before && before == Set("run=r1", "run=b1"),
+      "fastForward must move metadata only")
     assert(rows(TripleSink.read(spark, path)) ==
       Set(("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")))
     val (seq, runId, total) = TripleSink.snapshots(path).last
