@@ -132,7 +132,7 @@ object TripleSink {
     validateRunId(runId)
     val spark = triples.sparkSession
     val all = manifests(path, branch)
-    requireRunIdFreeElsewhere(path, runId, branch)
+    requireRunIdFreeElsewhere(path, runId, branch, all)
     val prior = all.lastOption
     val retryOf = all.find(_.runId == runId)
     retryOf.foreach { orig =>
@@ -212,7 +212,7 @@ object TripleSink {
     require(all.nonEmpty, s"merge into an empty table under $path")
     require(!all.exists(_.runId == runId),
       s"run_id=$runId already committed - merge commits are not retryable")
-    requireRunIdFreeElsewhere(path, runId, None)
+    requireRunIdFreeElsewhere(path, runId, None, all)
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
@@ -262,7 +262,7 @@ object TripleSink {
           s"${retry.get.operation} - only the LATEST delta commit is retryable")
       return
     }
-    requireRunIdFreeElsewhere(path, runId, None)
+    requireRunIdFreeElsewhere(path, runId, None, all)
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
@@ -311,7 +311,7 @@ object TripleSink {
           s"${retry.get.operation} - only the LATEST delta-mor commit is retryable")
       return
     }
-    requireRunIdFreeElsewhere(path, runId, None)
+    requireRunIdFreeElsewhere(path, runId, None, all)
     val prior = all.last
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
@@ -493,16 +493,11 @@ object TripleSink {
 
     def readPairs(pairs: Set[(String, Int)]): DataFrame =
       if (pairs.isEmpty) emptyFrame
-      else {
-        val raw = spark.read.option("basePath", s"$path/data")
+      else projectToSchema(
+        spark.read.option("basePath", s"$path/data")
           .option("mergeSchema", "true")
           .parquet(pairs.toSeq.sorted.map { case (r, p) =>
-            s"$path/data/run=$r/part_id=$p" }: _*)
-        val present = raw.columns.toSet
-        val filled = cols.foldLeft(raw) { case (df, (n, t)) =>
-          if (present(n)) df else df.withColumn(n, lit(null).cast(t)) }
-        filled.select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
-      }
+            s"$path/data/run=$r/part_id=$p" }: _*), cols)
 
     // segments: (from → pred(replace_1)], (replace_1 → pred(replace_2)],
     // …, (replace_k → to]. Each replace equals its predecessor in
@@ -546,16 +541,9 @@ object TripleSink {
               .parquet(pairs.toSeq.sorted.map { case (r, p) =>
                 s"$path/data/run=$r/part_id=$p" }: _*)
               .drop("run")
-            val present = raw.columns.toSet
-            val filled = m.schema.foldLeft(raw) { case (df, (n, t)) =>
-              if (present(n)) df else df.withColumn(n, lit(null).cast(t)) }
-            val cond = m.schema.map { case (n, _) => col(n) <=> col(s"del_$n") }
-              .reduce(_ && _) && array_contains(col("del_scope"), col("run_id"))
-            val matched = filled.join(broadcast(dels), cond, "left_semi")
-            val presentM = matched.columns.toSet
-            val out = cols.foldLeft(matched) { case (df, (n, t)) =>
-              if (presentM(n)) df else df.withColumn(n, lit(null).cast(t)) }
-            Some(out.select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*))
+            val matched = nullFill(raw, m.schema)
+              .join(broadcast(dels), deleteMatchCond(m.schema), "left_semi")
+            Some(projectToSchema(matched, cols))
           }
       }
 
@@ -774,15 +762,44 @@ object TripleSink {
   /** Run directories are shared across chains, so a fresh commit's
     * runId must be free EVERYWHERE — a branch commit reusing a main
     * runId (or vice versa) would overwrite the other chain's data
-    * files. Same-chain reuse is handled by each entry point's own
-    * retry rules. */
+    * files. Same-chain MANIFEST reuse is handled by each entry point's
+    * own retry rules — but a runId can also be live with NO manifest
+    * bearing it: retention expires old manifests while later snapshots
+    * still reference their run dirs, and fastForward publishes one
+    * manifest carrying only the branch HEAD's runId while earlier
+    * staged runs stay visible. Writing such an id would silently
+    * overwrite a data directory the live table reads, so the guard
+    * checks every surviving manifest's VISIBILITY (data runs and
+    * delete runs), not just manifest run_ids. `ownChain`, when the
+    * caller already parsed its chain, avoids re-reading it. */
   private def requireRunIdFreeElsewhere(path: String, runId: String,
-                                        chain: Option[String]): Unit = {
+                                        chain: Option[String],
+                                        ownChain: Seq[Manifest] = null): Unit = {
     val here = chain.getOrElse("main")
-    allChainManifests(path).foreach { case (label, ms) =>
+    // lazy per-chain parse: the caller's own chain rides its already-
+    // parsed Seq, so a branch-less ingest re-reads NO manifest here
+    def chainOf(label: String): Seq[Manifest] =
+      if (label == here && ownChain != null) ownChain
+      else manifests(path, if (label == "main") None else Some(label))
+    // a same-chain manifest with this runId is the retry case the
+    // caller's own rules vet; any OTHER chain's reference to the id is
+    // then the SAME physical run (a branch fork or fast-forward of this
+    // chain's commit), which the retry contract — the re-run recomputes
+    // identical content — keeps consistent. Without such a manifest,
+    // any reference anywhere (a fresh commit elsewhere, an expired-
+    // history or fast-forward visibility remnant) makes the id
+    // unwritable: rewriting its run dir would corrupt live snapshots.
+    if (chainOf(here).exists(_.runId == runId)) return
+    ("main" +: branchNames(path)).foreach { label =>
+      val ms = chainOf(label)
       require(label == here || !ms.exists(_.runId == runId),
         s"run_id=$runId already committed on chain '$label' - run " +
           "directories are shared across branches; pick a fresh id")
+      require(!ms.exists(m =>
+          m.visibleRunNames.contains(runId) || m.deletes.exists(_.run == runId)),
+        s"run_id=$runId names a data/delete run still visible on chain " +
+          s"'$label' (its own manifest has been expired or fast-forwarded " +
+          "away) - overwriting it would corrupt live snapshots; pick a fresh id")
     }
   }
 
@@ -1031,7 +1048,7 @@ object TripleSink {
         s"no snapshot for run_id=$toRunId under $path"))
     require(!all.exists(_.runId == runId),
       s"run_id=$runId already committed - rollback commits are not retryable")
-    requireRunIdFreeElsewhere(path, runId, None)
+    requireRunIdFreeElsewhere(path, runId, None, all)
     publish(path, target.copy(seq = all.last.seq + 1, runId = runId,
       operation = "rollback", file = null))
   }
@@ -1084,6 +1101,31 @@ object TripleSink {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("part_id")
       .parquet(s"$path/data/run=$runId")
+
+  /** Null-fill columns of `schema` a frame predates (schema
+    * evolution) — the one shared fill every snapshot-scoped read uses,
+    * so readers, the changelog, and delete files cannot drift. */
+  private def nullFill(df: DataFrame, schema: Seq[(String, String)]): DataFrame = {
+    val present = df.columns.toSet
+    schema.foldLeft(df) { case (d, (n, t)) =>
+      if (present(n)) d else d.withColumn(n, lit(null).cast(t)) }
+  }
+
+  /** Project a frame to a snapshot schema exactly: null-fill, cast to
+    * the recorded types, recorded column order — optionally keeping
+    * trailing bookkeeping columns. */
+  private def projectToSchema(df: DataFrame, schema: Seq[(String, String)],
+                              keep: Seq[Column] = Nil): DataFrame =
+    nullFill(df, schema).select(
+      schema.map { case (n, t) => col(n).cast(t).as(n) } ++ keep: _*)
+
+  /** The equality-delete match: every schema column null-safe-equal to
+    * its `del_`-prefixed counterpart, scoped to the runs visible when
+    * the delete committed — shared by the snapshot read and the
+    * changelog's delete-term fold. */
+  private def deleteMatchCond(schema: Seq[(String, String)]): Column =
+    schema.map { case (n, _) => col(n) <=> col(s"del_$n") }
+      .reduce(_ && _) && array_contains(col("del_scope"), col("run_id"))
 
   /** Schema-check a delta frame and project it to the table's column
     * order — shared by the COW ([[applyDelta]]) and MOR
@@ -1170,9 +1212,18 @@ object TripleSink {
     Files.createDirectories(mdir)
     // zero-padded seq so lexicographic listing order == commit order
     val target = mdir.resolve(f"manifest-${m.seq}%06d-${m.runId}.json")
-    val collision = manifests(path, branch).find(o => o.seq == m.seq)
+    // racing-writer detection by FILENAME (the seq is in the name), so
+    // the check is one directory listing, not a re-parse of the chain
+    // a long ingest has already parsed this commit
+    val collision = {
+      import scala.jdk.CollectionConverters._
+      val pre = f"manifest-${m.seq}%06d-"
+      scala.util.Using.resource(Files.list(mdir))(_.iterator().asScala
+        .map(_.getFileName.toString)
+        .find(f => f.startsWith(pre) && f.endsWith(".json")))
+    }
     require(collision.isEmpty,
-      s"manifest seq=${m.seq} already exists (run_id=${collision.get.runId}): " +
+      s"manifest seq=${m.seq} already exists (${collision.get}): " +
         "another writer committed concurrently - this table is single-writer")
     val body = render(m).getBytes(StandardCharsets.UTF_8)
     val tmp = Files.createTempFile(mdir, s".manifest-${m.seq}-", ".tmp")
@@ -1188,13 +1239,26 @@ object TripleSink {
     }
   }
 
+  /** JSON string escape for manifest fields that are NOT charset-
+    * validated at entry: schema column names/types may carry any
+    * character Spark allows (backtick-quoted identifiers), and an
+    * unescaped quote would publish a manifest no reader can ever
+    * parse again — a commit that reports success and bricks the
+    * table. Run ids, tag and branch names stay validated instead. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   private def render(m: Manifest): String = {
     val vis = m.visible.map { rv =>
       val parts = rv.parts.map(_.mkString("[", ",", "]")).getOrElse("null")
       s"""{"run":"${rv.run}","parts":$parts}"""
     }.mkString("[", ",", "]")
     val schema = m.schema.map { case (n, t) =>
-      s"""{"name":"$n","type":"$t"}"""
+      s"""{"name":"${jsonEscape(n)}","type":"${jsonEscape(t)}"}"""
     }.mkString("[", ",", "]")
     val parts = m.partitions.map(p =>
       s"""{"part_id":${p.partId},"rows":${p.rows},"h":${p.h}}""")
@@ -1253,12 +1317,22 @@ object TripleSink {
   private def parseManifest(file: Path): Manifest = {
     import scala.jdk.CollectionConverters._
     val n = mapper.readTree(Files.readAllBytes(file))
-    val visible = n.get("visible").elements().asScala.map { rv =>
-      val parts = rv.get("parts")
-      RunVis(rv.get("run").asText(),
-        if (parts == null || parts.isNull) None
-        else Some(parts.elements().asScala.map(_.asInt()).toSeq))
-    }.toSeq
+    // format-2 compatibility (pre-v3 writers): visibility was a plain
+    // run-name array under "visible_runs", partitions had no hash, and
+    // the recorded schema included the part_id/run_id bookkeeping
+    // columns the v3 reader appends itself — parse all three shapes so
+    // an old table opens instead of NPEing (its reads work; only
+    // statsAudit, which needs v3 hashes, reports a mismatch).
+    val visible =
+      if (n.has("visible") && !n.get("visible").isNull)
+        n.get("visible").elements().asScala.map { rv =>
+          val parts = rv.get("parts")
+          RunVis(rv.get("run").asText(),
+            if (parts == null || parts.isNull) None
+            else Some(parts.elements().asScala.map(_.asInt()).toSeq))
+        }.toSeq
+      else n.get("visible_runs").elements().asScala
+        .map(r => RunVis(r.asText(), None)).toSeq
     Manifest(
       seq = n.get("seq").asInt(),
       runId = n.get("run_id").asText(),
@@ -1267,7 +1341,8 @@ object TripleSink {
       nParts = if (n.has("n_parts")) n.get("n_parts").asInt() else 32,
       visible = visible,
       schema = n.get("schema").elements().asScala
-        .map(f => (f.get("name").asText(), f.get("type").asText())).toSeq,
+        .map(f => (f.get("name").asText(), f.get("type").asText()))
+        .filterNot(f => f._1 == "part_id" || f._1 == "run_id").toSeq,
       partitions = n.get("partitions").elements().asScala
         .map(p => PartStat(p.get("part_id").asInt(), p.get("rows").asLong(),
           if (p.has("h")) p.get("h").asLong() else 0L)).toSeq,
@@ -1338,13 +1413,8 @@ object TripleSink {
       .option("mergeSchema", "true") // union schema across evolved runs
       .parquet(paths: _*)
       .drop("run")
-    val present = raw.columns.toSet
-    val withAll = m.schema.foldLeft(raw) { case (df, (name, tpe)) =>
-      if (present(name)) df else df.withColumn(name, lit(null).cast(tpe))
-    }
-    val cols: Seq[Column] =
-      m.schema.map(f => col(f._1)) :+ col("run_id") :+ col("part_id")
-    val visibleRows = withAll.select(cols: _*)
+    val visibleRows = projectToSchema(raw, m.schema,
+      keep = Seq(col("run_id"), col("part_id")))
     // merge-on-read: anti-join active equality-delete files, each
     // scoped to the runs visible when it committed. The delete side
     // broadcasts — it is the small outstanding-deletes set, reclaimed
@@ -1352,9 +1422,7 @@ object TripleSink {
     deleteRows(spark, path, m) match {
       case None => visibleRows
       case Some(dels) =>
-        val cond = m.schema.map { case (n, _) => col(n) <=> col(s"del_$n") }
-          .reduce(_ && _) && array_contains(col("del_scope"), col("run_id"))
-        visibleRows.join(broadcast(dels), cond, "left_anti")
+        visibleRows.join(broadcast(dels), deleteMatchCond(m.schema), "left_anti")
     }
   }
 
@@ -1364,12 +1432,9 @@ object TripleSink {
                          m: Manifest): Option[DataFrame] =
     if (m.deletes.isEmpty) None
     else Some(m.deletes.map { d =>
-      val raw = spark.read.parquet(s"$path/_deletes/run=${d.run}")
-      val present = raw.columns.toSet
-      val filled = m.schema.foldLeft(raw) { case (df, (n, t)) =>
-        if (present(n)) df else df.withColumn(n, lit(null).cast(t)) }
-      filled.select(m.schema.map { case (n, t) =>
-        col(n).cast(t).as(s"del_$n") } :+
-        typedlit(d.scope).as("del_scope"): _*)
+      nullFill(spark.read.parquet(s"$path/_deletes/run=${d.run}"), m.schema)
+        .select(m.schema.map { case (n, t) =>
+          col(n).cast(t).as(s"del_$n") } :+
+          typedlit(d.scope).as("del_scope"): _*)
     }.reduce(_ unionByName _))
 }

@@ -74,11 +74,16 @@ object ZOrder {
   }
 
   /** (min, max) per column, one aggregate pass, collected (2×|cols|
-    * numbers — bounded regardless of table size). */
+    * numbers — bounded regardless of table size). An empty input or an
+    * all-null column aggregates to SQL NULL; it degrades to the (0,0)
+    * range — zvalue already coalesces row-level nulls to the range
+    * floor, so the rewrite of a degenerate table still succeeds
+    * (single z-bucket) instead of NPEing on getDouble. */
   def columnStats(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    def at(i: Int) = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    cols.indices.map(i => (at(2 * i), at(2 * i + 1)))
   }
 }

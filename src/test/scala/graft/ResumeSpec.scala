@@ -847,6 +847,71 @@ class ResumeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { TripleSink.fastForward(path, "exp") }
   }
 
+  test("run ids stay reserved while their data is VISIBLE, even after their manifest expired") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-reuse").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+
+    TripleSink.write(frame(("a", "p", "1")), path, "r1", nParts = 4)
+    TripleSink.write(frame(("b", "p", "2")), path, "r2", nParts = 4, append = true)
+    TripleSink.write(frame(("c", "p", "3")), path, "r3", nParts = 4, append = true)
+    // retention drops r1/r2's MANIFESTS but r3's snapshot still reads
+    // their run dirs - a "fresh" commit reusing r1 would overwrite data
+    // the live table is built from (e.g. a streaming ingest whose
+    // checkpoint was reset, restarting batch ids at 0)
+    TripleSink.expireSnapshots(path, keepLast = 1)
+    assertThrows[IllegalArgumentException] {
+      TripleSink.write(frame(("x", "p", "9")), path, "r1", nParts = 4, append = true)
+    }
+    assertThrows[IllegalArgumentException] {
+      TripleSink.merge(spark, path, frame(("a", "p", "1x")), "r2")
+    }
+    // same remnant via fastForward: main gets ONE manifest carrying the
+    // branch HEAD's runId while the earlier staged run stays visible
+    TripleSink.createBranch(path, "wap", "r3")
+    TripleSink.writeToBranch(frame(("d", "p", "4")), path, "wap", "b1",
+      nParts = 4, append = true)
+    TripleSink.writeToBranch(frame(("e", "p", "5")), path, "wap", "b2",
+      nParts = 4, append = true)
+    TripleSink.fastForward(path, "wap")
+    TripleSink.dropBranch(path, "wap")
+    assertThrows[IllegalArgumentException] {
+      TripleSink.write(frame(("x", "p", "9")), path, "b1", nParts = 4, append = true)
+    }
+    // a genuinely fresh id still commits fine
+    TripleSink.write(frame(("f", "p", "6")), path, "r4", nParts = 4, append = true)
+    assert(TripleSink.read(spark, path)
+      .select("subj").as[String].collect().toSet == Set("a", "b", "c", "d", "e", "f"))
+  }
+
+  test("format-2 manifests (pre-v3 writers) still open: visible_runs + bookkeeping schema") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-v2compat").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+    TripleSink.write(frame(("a", "p", "1"), ("b", "p", "2")), path, "r1", nParts = 4)
+    // rewrite the manifest as the round-4 writer emitted it: visibility
+    // as a plain run-name array, schema including part_id/run_id, and
+    // partition stats without the hash field
+    val v2 =
+      """{"format":"graft-iceberg-emulation/2","table":"triples","seq":0,
+        |"run_id":"r1","operation":"overwrite","snapshot_id":7,
+        |"visible_runs":["r1"],
+        |"schema":[{"name":"subj","type":"string"},{"name":"pred","type":"string"},
+        |{"name":"obj","type":"string"},{"name":"part_id","type":"int"},
+        |{"name":"run_id","type":"string"}],
+        |"partitions":[{"part_id":0,"rows":2}]}""".stripMargin.replace("\n", "")
+    val mfile = java.nio.file.Paths.get(path, "_manifests", "manifest-000000-r1.json")
+    assert(java.nio.file.Files.exists(mfile))
+    java.nio.file.Files.writeString(mfile, v2)
+    val got = TripleSink.read(spark, path)
+    assert(got.select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().toSet == Set(("a", "p", "1"), ("b", "p", "2")))
+    // bookkeeping columns appear once, not duplicated from the old schema
+    assert(got.columns.count(_ == "run_id") == 1 &&
+      got.columns.count(_ == "part_id") == 1)
+    assert(TripleSink.snapshots(path) == Seq((0, "r1", 2L)))
+  }
+
   test("branches: retention pins branch-referenced runs; dropped branches age out as orphans") {
     import graft.sources.TripleSink
     val path = Files.createTempDirectory("graft-sink-branch3").toString

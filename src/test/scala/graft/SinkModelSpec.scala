@@ -148,4 +148,103 @@ class SinkModelSpec extends AnyFunSuite {
     dead.takeRight(2).foreach { case (id, _, _) =>
       intercept[IllegalArgumentException] { TripleSink.readAsOf(spark, path, id) } }
   }
+
+  test("random main+branch sequence: staged isolation, fast-forward/divergence, retention pinning match the model") {
+    val rnd = new scala.util.Random(4321)
+    val path = Files.createTempDirectory("graft-sink-model-br").toString
+    val preds = Seq("p0", "p1")
+    def randRows(n: Int): Set[(String, String, String)] =
+      (0 until n).map(_ => (s"s${rnd.nextInt(30)}", preds(rnd.nextInt(2)),
+        s"v${rnd.nextInt(1000000)}")).toSet
+
+    final case class Br(base: String, var state: Set[(String, String, String)],
+                        parts: Int, var head: String, var staged: Int)
+    var model = Set.empty[(String, String, String)]
+    var curParts = 4
+    var lastMain = "m-1"
+    var seq = 1
+    def commitId(kind: String): String = { seq += 1; s"$kind-$seq" }
+    val branches = scala.collection.mutable.LinkedHashMap.empty[String, Br]
+
+    val init = randRows(10)
+    TripleSink.write(init.toSeq.toDF("subj", "pred", "obj"), path, lastMain,
+      nParts = curParts)
+    model = init
+
+    (1 to 30).foreach { _ =>
+      rnd.nextInt(7) match {
+        case 0 => // main append
+          val id = commitId("ap")
+          val rows = randRows(1 + rnd.nextInt(15)) -- model
+          TripleSink.write(rows.toSeq.toDF("subj", "pred", "obj"), path, id,
+            nParts = curParts, append = true)
+          model ++= rows; lastMain = id
+        case 1 => // main keyed merge
+          val id = commitId("mg")
+          val upd = randRows(1 + rnd.nextInt(8))
+          TripleSink.merge(spark, path, upd.toSeq.toDF("subj", "pred", "obj"), id)
+          val keys = upd.map(r => (r._1, r._2))
+          model = model.filterNot(r => keys((r._1, r._2))) ++ upd; lastMain = id
+        case 2 => // compact (a replace commit between fork and publish)
+          val id = commitId("cp")
+          TripleSink.compact(spark, path, id, nParts = curParts)
+          lastMain = id
+        case 3 => // fork a branch at the current main head
+          if (branches.size < 3) {
+            val name = s"br-$seq"; seq += 1
+            TripleSink.createBranch(path, name, lastMain)
+            branches(name) = Br(lastMain, model, curParts, lastMain, 0)
+          }
+        case 4 => // stage an append on a random open branch
+          branches.toSeq.sortBy(_._1).lift(
+              if (branches.isEmpty) 0 else rnd.nextInt(branches.size)).foreach {
+            case (name, b) =>
+              val id = commitId("bw")
+              val rows = randRows(1 + rnd.nextInt(10)) -- b.state
+              TripleSink.writeToBranch(rows.toSeq.toDF("subj", "pred", "obj"),
+                path, name, id, nParts = b.parts, append = true)
+              b.state ++= rows; b.head = id; b.staged += 1
+          }
+        case 5 => // fast-forward: publishes iff main has not advanced
+          branches.toSeq.sortBy(_._1).lift(
+              if (branches.isEmpty) 0 else rnd.nextInt(branches.size)).foreach {
+            case (name, b) if b.staged > 0 =>
+              if (lastMain == b.base) {
+                TripleSink.fastForward(path, name)
+                model = b.state; lastMain = b.head
+                TripleSink.dropBranch(path, name); branches.remove(name)
+              } else {
+                intercept[IllegalArgumentException] {
+                  TripleSink.fastForward(path, name) }
+              }
+            case _ => // nothing staged: no-op either way
+          }
+        case _ => // drop a random branch unpublished
+          branches.toSeq.sortBy(_._1).lift(
+              if (branches.isEmpty) 0 else rnd.nextInt(branches.size)).foreach {
+            case (name, _) =>
+              assert(TripleSink.dropBranch(path, name)); branches.remove(name)
+          }
+      }
+      // invariants after EVERY op: staged work isolated per chain
+      assert(readSet(TripleSink.read(spark, path)) == model, "main != model")
+      assert(TripleSink.statsAudit(spark, path))
+      branches.foreach { case (name, b) =>
+        assert(readSet(TripleSink.readBranch(spark, path, name)) == b.state,
+          s"branch $name != its model") }
+      assert(TripleSink.branches(path).map(_._1) == branches.keys.toSeq.sorted)
+    }
+
+    // aggressive main retention with branches open: every branch still
+    // reads (its runs are pinned), main still == model
+    TripleSink.expireSnapshots(path, keepLast = 1)
+    assert(readSet(TripleSink.read(spark, path)) == model)
+    branches.foreach { case (name, b) =>
+      assert(readSet(TripleSink.readBranch(spark, path, name)) == b.state) }
+    // drop everything; the janitor reclaims; main unaffected
+    branches.keys.toSeq.foreach(n => TripleSink.dropBranch(path, n))
+    TripleSink.removeOrphans(path, olderThanMs = -60000)
+    assert(readSet(TripleSink.read(spark, path)) == model)
+    assert(TripleSink.statsAudit(spark, path))
+  }
 }

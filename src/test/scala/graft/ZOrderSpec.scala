@@ -79,4 +79,17 @@ class ZOrderSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(z == Seq(1L, 2L, 15L, (1L << 32) - 1))
   }
+
+  test("degenerate inputs rewrite instead of crashing: empty table, all-null column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-z-degenerate")
+    // empty input: min/max aggregate to SQL NULL
+    val empty = Seq.empty[(Int, Int)].toDF("x", "y")
+    ZOrder.write(empty, s"$dir/empty", Seq("x", "y"), nFiles = 4)
+    assert(spark.read.parquet(s"$dir/empty").count() == 0)
+    // an all-null z-column degrades to the (0,0) range; rows survive
+    val nullCol = Seq((1, None: Option[Int]), (2, None)).toDF("x", "y")
+    ZOrder.write(nullCol, s"$dir/nullcol", Seq("x", "y"), nFiles = 4)
+    assert(spark.read.parquet(s"$dir/nullcol").count() == 2)
+  }
 }
