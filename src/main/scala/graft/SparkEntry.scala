@@ -1296,6 +1296,34 @@ object SparkEntry {
         .orderBy("subj", "pred", "obj")
     }),
 
+    // Iceberg-emulation INPUT CORPUS (A1+A16, round-5): the north-rule
+    // INPUT is an Iceberg table of web pages — so the pages corpus
+    // itself is ingested into the snapshot table (subj=url,
+    // pred='crawled_as', obj=lang, plus the typed warc_ts/html/text
+    // payload columns), zh pages as commit r1 and the rest appended as
+    // r2. A pipeline run can then PIN its corpus: the time-traveled
+    // zh-only snapshot and the latest full corpus aggregate side by
+    // side, and DuckDB mirrors both straight from the documents table
+    // (pages are 1:1 with docs at replicate=1, url injective in
+    // doc_id).
+    "q_sink_pages" -> ((s, d) => {
+      val path = scratchDir("graft_sink_pages")
+      val pages = graft.sources.Pages.synthesize(s, d).toDF()
+        .select(col("url").as("subj"), lit("crawled_as").as("pred"),
+          col("lang").as("obj"), col("warc_ts"), col("html"), col("text"))
+      graft.sources.TripleSink.write(
+        pages.filter(col("obj") === "zh"), path, "r1", nParts = 8)
+      graft.sources.TripleSink.write(
+        pages.filter(col("obj") =!= "zh"), path, "r2", nParts = 8, append = true)
+      def agg(df: DataFrame, snap: String) = df.groupBy(col("obj"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("subj")).as("n_urls"))
+        .withColumn("snap", lit(snap))
+      agg(graft.sources.TripleSink.readAsOf(s, path, "r1"), "asof_r1")
+        .unionByName(agg(graft.sources.TripleSink.read(s, path), "latest"))
+        .orderBy("snap", "obj")
+    }),
+
     // Iceberg-emulation SQL SURFACE (A16, round-5): the snapshot table
     // read through the DataSource V2 relation
     // (graft.sources.v2.TriplesSource) as a plain SQL view — planning
@@ -2460,6 +2488,17 @@ object SparkEntry {
       """SELECT c_name AS subj, 'in_segment' AS pred, c_mktsegment AS obj
         |FROM customer WHERE c_custkey <= 300
         |ORDER BY subj, pred, obj""".stripMargin,
+
+    // the input-corpus snapshot table: the time-traveled zh commit and
+    // the latest full corpus both mirror from the documents table
+    "q_sink_pages" ->
+      """SELECT 'asof_r1' AS snap, lang AS obj, count(*) AS n_pages,
+        |       count(DISTINCT doc_id) AS n_urls
+        |FROM documents WHERE lang = 'zh' GROUP BY lang
+        |UNION ALL
+        |SELECT 'latest', lang, count(*), count(DISTINCT doc_id)
+        |FROM documents GROUP BY lang
+        |ORDER BY snap, obj""".stripMargin,
 
     // the SQL view over the DSv2 relation aggregates the same table
     "q_sink_sql" ->
