@@ -1311,6 +1311,7 @@ object SparkEntry {
       val pages = graft.sources.Pages.synthesize(s, d).toDF()
         .select(col("url").as("subj"), lit("crawled_as").as("pred"),
           col("lang").as("obj"), col("warc_ts"), col("html"), col("text"))
+        .localCheckpoint(true) // consumed by BOTH commits: synthesize once
       graft.sources.TripleSink.write(
         pages.filter(col("obj") === "zh"), path, "r1", nParts = 8)
       graft.sources.TripleSink.write(

@@ -134,7 +134,9 @@ object TripleSink {
     val all = manifests(path, branch)
     requireRunIdFreeElsewhere(path, runId, branch, all)
     val prior = all.lastOption
-    val retryOf = all.find(_.runId == runId)
+    // a branch-base seed projects another chain's commit and is never
+    // retryable here (defense in depth: the guard above already threw)
+    val retryOf = all.find(m => m.runId == runId && m.operation != "branch-base")
     retryOf.foreach { orig =>
       require(prior.exists(_.runId == runId),
         s"run_id=$runId already committed at seq=${orig.seq} and is not the " +
@@ -148,6 +150,9 @@ object TripleSink {
         s"retry of run_id=$runId must reuse its nParts=${orig.nParts}, got $nParts")
     }
     prior.filter(_ => append && retryOf.isEmpty).foreach { p =>
+      require(p.nParts > 0,
+        "append onto a pre-v3 manifest with no recorded partition spec - " +
+          "overwrite or compact() to upgrade first")
       require(p.nParts == nParts,
         s"append with nParts=$nParts onto a table partitioned with " +
           s"nParts=${p.nParts}: one partition spec per snapshot lineage - " +
@@ -214,6 +219,9 @@ object TripleSink {
       s"run_id=$runId already committed - merge commits are not retryable")
     requireRunIdFreeElsewhere(path, runId, None, all)
     val prior = all.last
+    require(prior.nParts > 0,
+      "table's latest manifest is pre-v3 with no recorded partition spec - " +
+        "run compact() to upgrade before row-level commits")
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
     require(updates.columns.toSet == schemaCols.toSet,
@@ -264,6 +272,9 @@ object TripleSink {
     }
     requireRunIdFreeElsewhere(path, runId, None, all)
     val prior = all.last
+    require(prior.nParts > 0,
+      "table's latest manifest is pre-v3 with no recorded partition spec - " +
+        "run compact() to upgrade before row-level commits")
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
     // must not lazily re-read dirs this commit swaps out
@@ -313,6 +324,9 @@ object TripleSink {
     }
     requireRunIdFreeElsewhere(path, runId, None, all)
     val prior = all.last
+    require(prior.nParts > 0,
+      "table's latest manifest is pre-v3 with no recorded partition spec - " +
+        "run compact() to upgrade before row-level commits")
     val nParts = prior.nParts
     val schemaCols = prior.schema.map(_._1)
     // additions are consumed once (writeRunData re-derives part_id and
@@ -669,9 +683,14 @@ object TripleSink {
         s"no snapshot for run_id=$fromRunId under $path"))
     require(manifests(path, Some(name)).isEmpty,
       s"branch '$name' already exists (dropBranch first)")
-    // the seed keeps the base manifest's seq and runId: they are the
-    // divergence anchor fastForward compares against main's head
-    publish(path, m.copy(file = null), Some(name))
+    // the seed keeps the base manifest's seq and runId — the divergence
+    // anchor fastForward compares against main's head — but is marked
+    // `branch-base`: it is a fork-point PROJECTION of another chain's
+    // commit, not a commit made on this chain, so the retry machinery
+    // (doWrite's rules AND the run-id guard's same-chain exemption)
+    // must never treat it as one — a branch "retrying" its fork-point
+    // id would overwrite data live main snapshots read.
+    publish(path, m.copy(operation = "branch-base", file = null), Some(name))
   }
 
   /** Branches 2 of 6 — commit onto a branch: identical semantics to
@@ -785,11 +804,15 @@ object TripleSink {
     // caller's own rules vet; any OTHER chain's reference to the id is
     // then the SAME physical run (a branch fork or fast-forward of this
     // chain's commit), which the retry contract — the re-run recomputes
-    // identical content — keeps consistent. Without such a manifest,
-    // any reference anywhere (a fresh commit elsewhere, an expired-
-    // history or fast-forward visibility remnant) makes the id
-    // unwritable: rewriting its run dir would corrupt live snapshots.
-    if (chainOf(here).exists(_.runId == runId)) return
+    // identical content — keeps consistent. A `branch-base` seed does
+    // NOT count: it projects another chain's commit, it is not one of
+    // this chain's own. Without a genuinely-own manifest, any reference
+    // anywhere (a fresh commit elsewhere, an expired-history or
+    // fast-forward visibility remnant, the fork point itself) makes the
+    // id unwritable: rewriting its run dir would corrupt live
+    // snapshots.
+    if (chainOf(here).exists(m =>
+        m.runId == runId && m.operation != "branch-base")) return
     ("main" +: branchNames(path)).foreach { label =>
       val ms = chainOf(label)
       require(label == here || !ms.exists(_.runId == runId),
@@ -1020,6 +1043,11 @@ object TripleSink {
     require(subjects.nonEmpty, "empty subject list")
     val m = manifests(path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $path"))
+    // pre-v3 manifest: no recorded partition spec to prune by — fall
+    // back to the (correct, unpruned) full-visibility scan rather than
+    // guess a spec and silently miss the subject's real partition
+    if (m.nParts <= 0)
+      return readVisible(spark, path, m).filter(col("subj").isin(subjects: _*))
     import spark.implicits._
     val parts = subjects.toDF("subj")
       .select(pmod(xxhash64(col("subj")), lit(m.nParts)).cast("int"))
@@ -1321,8 +1349,12 @@ object TripleSink {
     // run-name array under "visible_runs", partitions had no hash, and
     // the recorded schema included the part_id/run_id bookkeeping
     // columns the v3 reader appends itself — parse all three shapes so
-    // an old table opens instead of NPEing (its reads work; only
-    // statsAudit, which needs v3 hashes, reports a mismatch).
+    // an old table opens instead of NPEing. Reads and time travel work;
+    // statsAudit (needs v3 hashes) reports a mismatch, point lookups
+    // fall back to an unpruned scan, and spec-dependent WRITES
+    // (append/merge/delta) demand a compact() upgrade first — the
+    // legacy manifest records no partition spec, and guessing one
+    // would silently mis-hash.
     val visible =
       if (n.has("visible") && !n.get("visible").isNull)
         n.get("visible").elements().asScala.map { rv =>
@@ -1338,7 +1370,10 @@ object TripleSink {
       runId = n.get("run_id").asText(),
       operation = n.get("operation").asText(),
       snapshotId = n.get("snapshot_id").asLong(),
-      nParts = if (n.has("n_parts")) n.get("n_parts").asInt() else 32,
+      // -1 = pre-v3 manifest with NO recorded partition spec: reads
+      // never consult it, spec-dependent ops check for it (guessing a
+      // default would silently mis-hash lookups and merges)
+      nParts = if (n.has("n_parts")) n.get("n_parts").asInt() else -1,
       visible = visible,
       schema = n.get("schema").elements().asScala
         .map(f => (f.get("name").asText(), f.get("type").asText()))

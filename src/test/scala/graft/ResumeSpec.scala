@@ -910,6 +910,40 @@ class ResumeSpec extends AnyFunSuite {
     assert(got.columns.count(_ == "run_id") == 1 &&
       got.columns.count(_ == "part_id") == 1)
     assert(TripleSink.snapshots(path) == Seq((0, "r1", 2L)))
+    // no partition spec is recorded, so point lookups fall back to the
+    // correct unpruned scan (never a guessed hash) and spec-dependent
+    // writes demand a compact() upgrade instead of mis-hashing silently
+    assert(TripleSink.lookupSubjects(spark, path, Seq("a"))
+      .select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().toSet == Set(("a", "p", "1")))
+    assertThrows[IllegalArgumentException] {
+      TripleSink.merge(spark, path, frame(("a", "p", "1x")), "m1")
+    }
+    assertThrows[IllegalArgumentException] {
+      TripleSink.write(frame(("c", "p", "3")), path, "r2", nParts = 4, append = true)
+    }
+    TripleSink.compact(spark, path, "up1", nParts = 4) // format upgrade
+    TripleSink.merge(spark, path, frame(("a", "p", "1x")), "m1")
+    assert(TripleSink.read(spark, path)
+      .select("subj", "obj").as[(String, String)].collect().toSet ==
+      Set(("a", "1x"), ("b", "2")))
+  }
+
+  test("a branch can never 'retry' its fork-point run id over main's data") {
+    import graft.sources.TripleSink
+    val path = Files.createTempDirectory("graft-sink-forkhijack").toString
+    def frame(rows: (String, String, String)*) = rows.toDF("subj", "pred", "obj")
+    TripleSink.write(frame(("a", "p", "1")), path, "r1", nParts = 4)
+    TripleSink.createBranch(path, "b", "r1")
+    // the branch seed carries runId r1, but it PROJECTS main's commit -
+    // writing r1 on the branch would SaveMode.Overwrite data/run=r1 and
+    // silently corrupt main's published snapshot
+    assertThrows[IllegalArgumentException] {
+      TripleSink.writeToBranch(frame(("x", "p", "9")), path, "b", "r1", nParts = 4)
+    }
+    assert(TripleSink.read(spark, path)
+      .select("obj").as[String].collect().toSeq == Seq("1"),
+      "main data must be untouched by the rejected branch write")
   }
 
   test("branches: retention pins branch-referenced runs; dropped branches age out as orphans") {
